@@ -1,0 +1,229 @@
+"""NumPy-facing API — drop-in for the reference package ``edt``.
+
+Reproduces the normalization and dispatch semantics of the reference Cython
+layer (/root/reference/src/edt.pyx:204-310): list inputs, empty arrays,
+contiguity, C/F order handling, dtype acceptance ((u)int8-64, float32/64,
+bool), default anisotropy, the defunct ``order=`` kwarg, and the
+``parallel`` kwarg (accepted for compatibility; on TPU parallelism is
+automatic, so it is a no-op).
+
+The actual compute runs on the default JAX device via the jitted
+composition in edt_tpu.ops.compose; pathologically long axes fall back to
+the exact host implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from edt_tpu.ops import compose
+from edt_tpu.utils import host_reference
+
+# Axes longer than this use the host FH fallback instead of the O(n^2/row)
+# device min-plus (only plausible for extremely thin/elongated arrays).
+_DEVICE_MAX_AXIS = 8192
+
+
+def _order_of(data: np.ndarray) -> str:
+    return "F" if data.flags.f_contiguous and not data.flags.c_contiguous else "C"
+
+
+def _as_device_labels(data: np.ndarray) -> np.ndarray:
+    """Map any supported dtype onto a JAX-transportable label array.
+
+    Only label *equality* and *zeroness* matter downstream, so any
+    equality-preserving, zero-preserving remap is legal (the reference
+    similarly reinterprets signed as unsigned, edt.pyx:328-397).
+    """
+    dt = data.dtype
+    if dt == np.bool_:
+        return data.view(np.uint8)
+    if dt in (np.uint8, np.uint16, np.uint32, np.float32):
+        return data
+    if dt == np.int8:
+        return data.astype(np.uint8)  # bijective wrap, like reference edt.pyx:328-337
+    if dt == np.int16:
+        return data.astype(np.uint16)
+    if dt == np.int32:
+        return data.astype(np.uint32)
+    if dt in (np.uint64, np.int64, np.float64):
+        # 64-bit label spaces: try a lossless narrowing first; otherwise
+        # factorize to compact int32 ids (equality- and zero-preserving).
+        if dt == np.float64:
+            as32 = data.astype(np.float32)
+            if np.array_equal(as32.astype(np.float64), data):
+                return as32
+        else:
+            info = np.iinfo(np.int32)
+            lo = data.min() if data.size else 0
+            hi = data.max() if data.size else 0
+            if lo >= (0 if dt == np.uint64 else info.min) and hi <= info.max:
+                # range fits in 2^32 values: mod-2^32 wrap is bijective and
+                # preserves both equality and zeroness
+                return data.astype(np.uint32)
+        uniq, inv = np.unique(data, return_inverse=True)
+        ids = np.arange(1, uniq.size + 1, dtype=np.uint32)
+        zero_idx = np.searchsorted(uniq, 0)
+        if zero_idx < uniq.size and uniq[zero_idx] == 0:
+            ids[zero_idx] = 0
+        return ids[inv].reshape(data.shape)
+    raise TypeError(f"Unsupported data type: {dt}")
+
+
+@functools.partial(jax.jit, static_argnames=("black_border",))
+def _edtsq_device(labels, anisotropy, black_border):
+    return compose.edtsq(labels, anisotropy, black_border)
+
+
+def _normalize_anisotropy(anisotropy, dims):
+    if anisotropy is None:
+        anisotropy = (1.0,) * dims
+    anisotropy = np.asarray(anisotropy, dtype=np.float32).reshape(-1)
+    if anisotropy.size == 1 and dims > 1:
+        anisotropy = np.repeat(anisotropy, dims)
+    if anisotropy.size != dims:
+        raise ValueError(
+            f"anisotropy must have {dims} components, got {anisotropy.size}"
+        )
+    return anisotropy
+
+
+def edtsq(
+    data,
+    anisotropy=None,
+    black_border=False,
+    parallel=1,
+    voxel_graph=None,
+    order=None,
+):
+    """Squared anisotropic multi-label EDT of a 1/2/3-D array.
+
+    Mirrors reference edt.edtsq (edt.pyx:244-310). ``parallel`` and
+    ``order`` are accepted for API compatibility; parallelism on TPU is
+    automatic.
+    """
+    if isinstance(data, list):
+        data = np.array(data)
+    data = np.asarray(data)
+
+    dims = data.ndim
+    if data.size == 0:
+        return np.zeros(shape=data.shape, dtype=np.float32)
+
+    arr_order = _order_of(data)
+    if not data.flags.c_contiguous and not data.flags.f_contiguous:
+        data = np.ascontiguousarray(data)
+
+    if voxel_graph is not None and dims not in (2, 3):
+        raise TypeError(
+            "Voxel connectivity graph is only supported for 2D and 3D. "
+            f"Got {dims}."
+        )
+    if dims not in (1, 2, 3):
+        raise TypeError(
+            f"Multi-Label EDT library only supports up to 3 dimensions got {dims}."
+        )
+
+    anisotropy = _normalize_anisotropy(anisotropy, dims)
+
+    if voxel_graph is not None:
+        from edt_tpu.ops import voxel_graph as vg
+
+        result = vg.edtsq_voxel_graph(
+            data, voxel_graph, anisotropy, bool(black_border), arr_order
+        )
+    elif max(data.shape) > _DEVICE_MAX_AXIS:
+        result = host_reference.edtsq_host(data, anisotropy, bool(black_border))
+    else:
+        labels = _as_device_labels(data)
+        out = _edtsq_device(
+            jnp.asarray(labels), jnp.asarray(anisotropy), bool(black_border)
+        )
+        result = np.array(out)  # writable host copy
+
+    if arr_order == "F":
+        result = np.asfortranarray(result)
+    return result
+
+
+def edt(
+    data,
+    anisotropy=None,
+    black_border=False,
+    parallel=1,
+    voxel_graph=None,
+    order=None,
+):
+    """Anisotropic multi-label EDT (reference edt.pyx:204-242)."""
+    dt = edtsq(data, anisotropy, black_border, parallel, voxel_graph)
+    return np.sqrt(dt, dt)
+
+
+def sdf(data, anisotropy=None, black_border=False, parallel=1,
+        voxel_graph=None, order=None):
+    """Signed distance field: edt(x) - edt(x == 0) (reference edt.pyx:120-158)."""
+    def fn(labels):
+        return edt(
+            labels,
+            anisotropy=anisotropy,
+            black_border=black_border,
+            parallel=parallel,
+            voxel_graph=voxel_graph,
+        )
+
+    dt = fn(data)
+    dt -= fn(np.asarray(data) == 0)
+    return dt
+
+
+def sdfsq(data, anisotropy=None, black_border=False, parallel=1,
+          voxel_graph=None, order=None):
+    """Squared signed distance field (reference edt.pyx:160-202)."""
+    def fn(labels):
+        return edtsq(
+            labels,
+            anisotropy=anisotropy,
+            black_border=black_border,
+            parallel=parallel,
+            voxel_graph=voxel_graph,
+        )
+
+    return fn(data) - fn(np.asarray(data) == 0)
+
+
+# --- fixed-dimension conveniences (reference edt.pyx:312-734) ---
+
+def edt1dsq(data, anisotropy=1.0, black_border=False):
+    return edtsq(np.asarray(data), anisotropy, black_border)
+
+
+def edt1d(data, anisotropy=1.0, black_border=False):
+    result = edt1dsq(data, anisotropy, black_border)
+    return np.sqrt(result, result)
+
+
+def edt2dsq(data, anisotropy=(1.0, 1.0), black_border=False, parallel=1,
+            voxel_graph=None):
+    return edtsq(np.asarray(data), anisotropy, black_border, parallel, voxel_graph)
+
+
+def edt2d(data, anisotropy=(1.0, 1.0), black_border=False, parallel=1,
+          voxel_graph=None):
+    result = edt2dsq(data, anisotropy, black_border, parallel, voxel_graph)
+    return np.sqrt(result, result)
+
+
+def edt3dsq(data, anisotropy=(1.0, 1.0, 1.0), black_border=False, parallel=1,
+            voxel_graph=None):
+    return edtsq(np.asarray(data), anisotropy, black_border, parallel, voxel_graph)
+
+
+def edt3d(data, anisotropy=(1.0, 1.0, 1.0), black_border=False, parallel=1,
+          voxel_graph=None):
+    result = edt3dsq(data, anisotropy, black_border, parallel, voxel_graph)
+    return np.sqrt(result, result)

@@ -1,0 +1,96 @@
+"""N-D composition of the 1-D EDT passes (jittable, device-native).
+
+Mirrors the reference drivers pyedt::_edt3dsq / _edt2dsq
+(/root/reference/src/edt.hpp:411-484, 631-678): a Rosenfeld–Pfaltz pass
+along the fastest axis, then a Felzenszwalb–Huttenlocher parabolic pass
+along each remaining axis. On CPU the reference fans rows across a thread
+pool with barriers between passes; on TPU every pass is a single fused XLA
+op (or Pallas kernel) over all rows at once, and the inter-pass "barrier"
+is simply dataflow. Strided row access is replaced by axis transposes,
+which XLA lays out efficiently.
+
+The decomposition is order-independent mathematically, so C- vs F-order
+inputs are handled purely at the NumPy API layer (edt_tpu.api); here arrays
+are plain (s0, ..., sk) jnp arrays with anisotropy[k] attached to axis k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from edt_tpu.ops import core
+
+
+def _along_last(fn, axis, *arrays):
+    """Move ``axis`` of every array to -1, call fn, move the result back."""
+    moved = [jnp.moveaxis(a, axis, -1) for a in arrays]
+    out = fn(*moved)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def edtsq(
+    labels: jax.Array,
+    anisotropy: jax.Array,
+    black_border: bool = False,
+    minplus_fn=None,
+) -> jax.Array:
+    """Squared multi-label anisotropic EDT of a 1/2/3-D (or N-D) volume.
+
+    labels: integer/float/bool array; 0 is background, label boundaries act
+    as walls at distance w (reference README.md:21-24).
+    anisotropy: (ndim,) physical voxel pitch per axis (axis k <-> entry k).
+    black_border: treat the volume edge as background.
+
+    Differentiable w.r.t. nothing (labels are discrete); for gradients use
+    edt_tpu.models.soft.
+    """
+    nd = labels.ndim
+    anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
+
+    # Pass 1: closed-form Rosenfeld-Pfaltz along the last axis.
+    f = _along_last(
+        lambda lab: core.rp_pass_sq(lab, anisotropy[nd - 1], black_border),
+        nd - 1,
+        labels,
+    )
+
+    # Passes 2..nd: parabolic along each remaining axis.
+    for ax in range(nd - 2, -1, -1):
+        f = _along_last(
+            lambda ff, lab, _ax=ax: core.parabolic_pass_sq(
+                ff, lab, anisotropy[_ax], black_border, minplus_fn=minplus_fn
+            ),
+            ax,
+            f,
+            labels,
+        )
+    return f
+
+
+def edt(labels, anisotropy, black_border=False, minplus_fn=None):
+    """Euclidean distance (sqrt of edtsq)."""
+    return jnp.sqrt(edtsq(labels, anisotropy, black_border, minplus_fn=minplus_fn))
+
+
+def sdfsq(labels, anisotropy, black_border=False, minplus_fn=None):
+    """Squared signed distance field: edtsq(x) - edtsq(x == 0).
+
+    Mirrors reference edt.pyx:160-202.
+    """
+    fg = edtsq(labels, anisotropy, black_border, minplus_fn=minplus_fn)
+    bg = edtsq(
+        (labels == 0).astype(jnp.uint8), anisotropy, black_border, minplus_fn=minplus_fn
+    )
+    return fg - bg
+
+
+def sdf(labels, anisotropy, black_border=False, minplus_fn=None):
+    """Signed distance field: edt(x) - edt(x == 0) (reference edt.pyx:120-158)."""
+    fg = edt(labels, anisotropy, black_border, minplus_fn=minplus_fn)
+    bg = edt(
+        (labels == 0).astype(jnp.uint8), anisotropy, black_border, minplus_fn=minplus_fn
+    )
+    return fg - bg

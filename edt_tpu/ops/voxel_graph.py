@@ -1,0 +1,107 @@
+"""Voxel-connectivity-graph EDT: 2x-upsampled, graph-gated transform.
+
+Reimplements the reference's experimental voxel-graph variant
+(/root/reference/src/edt_voxel_graph.hpp:54-236) as array ops: each axis is
+upsampled 2x; even sites copy the foreground mask; an odd site between two
+voxels along an axis is foreground only if the *directed* connectivity
+graph permits travel in the + direction along that axis (bits 0b1 = +x,
+0b100 = +y, 0b10000 = +z of the voxel's bitfield — matching the reference,
+which consults only those three bits, edt_voxel_graph.hpp:148-150). The
+plain multi-label EDT then runs on the doubled volume at half anisotropy,
+and even sites are subsampled back, so a blocked edge sits 0.5 voxel away
+(header comment edt_voxel_graph.hpp:10-24).
+
+"x" is the fastest-varying axis of the input's memory order (last numpy
+axis for C order, first for F order), as in the reference Cython dispatch
+(edt.pyx:532-543, 754-767).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from edt_tpu.ops import compose
+
+
+@functools.partial(jax.jit, static_argnames=("black_border",))
+def _edtsq_device(labels, anisotropy, black_border):
+    return compose.edtsq(labels, anisotropy, black_border)
+
+
+def _doubled_2d(fg, g, black_border):
+    s0, s1 = fg.shape
+    D = np.zeros((2 * s0, 2 * s1), dtype=np.uint8)
+    D[0::2, 0::2] = fg
+    D[0::2, 1::2] = fg & ((g >> 0) & 1)  # +x edges (x = last axis)
+    D[1::2, 0::2] = fg & ((g >> 2) & 1)  # +y edges
+    D[1::2, 1::2] = fg
+    if black_border:
+        D[:, -1] = 0
+        D[-1, :] = 0
+    return D
+
+
+def _doubled_3d(fg, g, black_border):
+    s0, s1, s2 = fg.shape
+    D = np.zeros((2 * s0, 2 * s1, 2 * s2), dtype=np.uint8)
+    D[0::2, 0::2, 0::2] = fg
+    D[0::2, 0::2, 1::2] = fg & ((g >> 0) & 1)  # +x edges (x = last axis)
+    D[0::2, 1::2, 0::2] = fg & ((g >> 2) & 1)  # +y edges
+    D[1::2, 0::2, 0::2] = fg & ((g >> 4) & 1)  # +z edges
+    D[0::2, 1::2, 1::2] = fg
+    D[1::2, 0::2, 1::2] = fg
+    D[1::2, 1::2, 0::2] = fg
+    D[1::2, 1::2, 1::2] = fg
+    if black_border:
+        D[:, :, -1] = 0
+        D[:, -1, :] = 0
+        D[-1, :, :] = 0
+    return D
+
+
+def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):
+    """Squared EDT constrained by a directed voxel connectivity graph."""
+    data = np.asarray(data)
+    graph = np.asarray(graph)
+    if graph.shape != data.shape:
+        raise ValueError(
+            f"voxel_graph shape {graph.shape} must match data shape {data.shape}"
+        )
+    if graph.dtype in (np.uint8, np.int8):
+        graph = graph.view(np.uint8) if graph.dtype == np.int8 else graph
+    else:
+        graph = graph.astype(np.uint8)  # only the low 6 bits are consulted
+
+    nd = data.ndim
+    anisotropy = np.asarray(anisotropy, dtype=np.float32).reshape(nd)
+
+    # Canonicalize so "x" (bit 0b1) is the last axis.
+    if arr_order == "F":
+        perm = tuple(range(nd - 1, -1, -1))
+        data = np.transpose(data, perm)
+        graph = np.transpose(graph, perm)
+        anisotropy = anisotropy[::-1]
+    graph = np.ascontiguousarray(graph)
+
+    fg = (data != 0).astype(np.uint8)
+    if nd == 2:
+        D = _doubled_2d(fg, graph, black_border)
+    else:
+        D = _doubled_3d(fg, graph, black_border)
+
+    out = _edtsq_device(
+        jnp.asarray(D),
+        jnp.asarray(anisotropy / 2.0, dtype=jnp.float32),
+        bool(black_border),
+    )
+    out = np.asarray(out)
+    sub = out[tuple(slice(0, None, 2) for _ in range(nd))]
+
+    if arr_order == "F":
+        sub = np.transpose(sub, perm)
+    return np.ascontiguousarray(sub)

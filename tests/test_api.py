@@ -1,0 +1,207 @@
+"""API-surface tests: dtypes, orders, errors, sdf, each/runs/draw/erase/
+transfer. Mirrors reference automated_test.py:17-60, 831-895 plus
+edt.pyx:276-310 normalization semantics."""
+
+import numpy as np
+import pytest
+
+import edt_tpu as edt
+from edt_tpu.utils import host_reference as hr
+
+INTEGER_TYPES = [np.uint8, np.uint16, np.uint32, np.uint64]
+ALL_TYPES = [
+    np.uint8, np.uint16, np.uint32, np.uint64,
+    np.int8, np.int16, np.int32, np.int64,
+    np.float32, np.float64, bool,
+]
+
+
+@pytest.mark.parametrize("dtype", ALL_TYPES)
+def test_all_dtypes_2d(dtype):
+    labels = np.zeros((7, 7), dtype=dtype)
+    labels[1:4, 1:4] = 1
+    labels[4:6, 4:6] = 2
+    res = edt.edtsq(labels)
+    oracle = hr.edtsq_host(labels.astype(np.float64) if dtype == np.float64 else labels,
+                           (1.0, 1.0), False)
+    assert res.dtype == np.float32
+    assert np.array_equal(res, oracle), (res, oracle)
+
+
+def test_negative_labels():
+    labels = np.array([[-1, -1, 0], [0, 5, 5]], dtype=np.int32)
+    res = edt.edtsq(labels, black_border=False)
+    oracle = hr.edtsq_host(labels, (1.0, 1.0), False)
+    assert np.array_equal(res, oracle)
+
+
+def test_large_int64_labels():
+    labels = np.array([[2**40, 2**40, 0], [0, 2**41, 2**41]], dtype=np.int64)
+    res = edt.edtsq(labels, black_border=False)
+    oracle = hr.edtsq_host(labels, (1.0, 1.0), False)
+    assert np.array_equal(res, oracle)
+
+
+def test_list_input():
+    assert np.array_equal(
+        edt.edtsq([0, 1, 1, 1, 0], black_border=True),
+        np.array([0, 1, 4, 1, 0], dtype=np.float32),
+    )
+
+
+def test_empty():
+    for shape in [(0,), (0, 3), (3, 0, 5)]:
+        res = edt.edtsq(np.zeros(shape, dtype=np.uint8))
+        assert res.shape == shape
+        assert res.dtype == np.float32
+
+
+def test_4d_raises():
+    with pytest.raises(TypeError):
+        edt.edtsq(np.zeros((2, 2, 2, 2), dtype=np.uint8))
+
+
+def test_voxel_graph_1d_raises():
+    with pytest.raises(TypeError):
+        edt.edtsq(np.zeros(4, dtype=np.uint8), voxel_graph=np.zeros(4, np.uint8))
+
+
+def test_noncontiguous_input():
+    base = np.random.randint(0, 3, size=(12, 12), dtype=np.uint32)
+    view = base[::2, ::2]
+    assert not view.flags.c_contiguous
+    res = edt.edtsq(view)
+    assert np.array_equal(res, edt.edtsq(np.ascontiguousarray(view)))
+
+
+def test_order_preserved():
+    lab = np.random.randint(0, 2, size=(9, 10, 11)).astype(np.uint32)
+    labf = np.asfortranarray(lab)
+    rc = edt.edt(lab)
+    rf = edt.edt(labf)
+    assert rc.flags.c_contiguous
+    assert rf.flags.f_contiguous
+    assert np.array_equal(rc, rf)
+
+
+def test_parallel_kwarg_accepted():
+    lab = np.ones((4, 4), dtype=np.uint8)
+    a = edt.edt(lab, parallel=1)
+    b = edt.edt(lab, parallel=4)
+    c = edt.edt(lab, parallel=-1)
+    assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+@pytest.mark.parametrize("dtype", INTEGER_TYPES)
+def test_sdf(dtype):
+    labels = np.zeros((9, 7), dtype=dtype)
+    labels[3:6, 2:5] = 1
+    ans = edt.edt(labels) - edt.edt(labels == 0)
+    res = edt.sdf(labels)
+    assert np.all(res == ans)
+
+
+def test_sdfsq():
+    labels = np.zeros((9, 7), dtype=np.uint32)
+    labels[3:6, 2:5] = 1
+    ans = edt.edtsq(labels) - edt.edtsq(labels == 0)
+    res = edt.sdfsq(labels)
+    assert np.all(res == ans)
+
+
+def test_fixed_dim_entry_points():
+    l1 = np.array([0, 1, 1, 0], dtype=np.uint8)
+    assert np.array_equal(edt.edt1dsq(l1), edt.edtsq(l1))
+    assert np.array_equal(edt.edt1d(l1), edt.edt(l1))
+    l2 = np.random.randint(0, 3, size=(8, 9), dtype=np.uint32)
+    assert np.array_equal(edt.edt2dsq(l2), edt.edtsq(l2))
+    assert np.array_equal(edt.edt2d(l2), edt.edt(l2))
+    l3 = np.random.randint(0, 3, size=(6, 7, 8), dtype=np.uint32)
+    assert np.array_equal(edt.edt3dsq(l3), edt.edtsq(l3))
+    assert np.array_equal(edt.edt3d(l3), edt.edt(l3))
+
+
+# ---- run-length kit ----
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint32, np.float32])
+@pytest.mark.parametrize("in_place", [True, False])
+def test_each(dtype, in_place):
+    labels = np.zeros((16, 16, 16), dtype=dtype)
+    half = 8
+    i = 1
+    for x in range(2):
+        for y in range(2):
+            for z in range(2):
+                labels[x*half:(x+1)*half, y*half:(y+1)*half, z*half:(z+1)*half] = i
+                i += 1
+    mdt = edt.edt(labels)
+    count = 0
+    for label, dt in edt.each(labels, mdt, in_place=in_place):
+        single = (labels == label) * mdt
+        assert np.all(single == dt), label
+        if in_place:
+            assert not dt.flags.writeable
+        count += 1
+    assert count == 8
+
+
+@pytest.mark.parametrize("in_place", [True, False])
+def test_each_random(in_place):
+    labels = np.random.randint(0, 25, size=(13, 14, 15))
+    mdt = edt.edt(labels)
+    for label, dt in edt.each(labels, mdt, in_place=in_place):
+        single = (labels == label) * mdt
+        assert np.all(single == dt), label
+
+
+def test_each_len():
+    labels = np.zeros((4, 4), dtype=np.uint8)
+    labels[0, :] = 1
+    labels[2, :] = 2
+    it = edt.each(labels, edt.edt(labels))
+    assert len(it) == 2
+
+
+def test_runs_draw_erase_transfer():
+    labels = np.array([1, 1, 0, 2, 2, 2, 1], dtype=np.uint32)
+    rns = edt.runs(labels)
+    assert rns[1] == [(0, 2), (6, 7)]
+    assert rns[0] == [(2, 3)]
+    assert rns[2] == [(3, 6)]
+
+    img = np.zeros(7, dtype=np.uint32)
+    edt.draw(9, rns[2], img)
+    assert np.array_equal(img, [0, 0, 0, 9, 9, 9, 0])
+    edt.erase(rns[2], img)
+    assert np.array_equal(img, np.zeros(7))
+
+    src = np.arange(7, dtype=np.float32)
+    dest = np.zeros(7, dtype=np.float32)
+    edt.transfer(rns[1], src, dest)
+    assert np.array_equal(dest, [0, 1, 0, 0, 0, 0, 6])
+
+
+def test_runs_invalid():
+    img = np.zeros(5, dtype=np.uint32)
+    with pytest.raises(RuntimeError):
+        edt.draw(1, [(3, 2)], img)
+    with pytest.raises(RuntimeError):
+        edt.draw(1, [(0, 9)], img)
+
+
+def test_runs_forder():
+    labels = np.asfortranarray(np.array([[1, 2], [1, 2]], dtype=np.uint32))
+    rns = edt.runs(labels)
+    # F-order memory: [1, 1, 2, 2]
+    assert rns[1] == [(0, 2)]
+    assert rns[2] == [(2, 4)]
+
+
+def test_reshape_stride_tricks():
+    arr = np.arange(12, dtype=np.uint32).reshape(3, 4)
+    flat = edt.reshape(arr, (12,))
+    assert np.shares_memory(flat, arr)
+    assert np.array_equal(flat, np.arange(12))
+    arrf = np.asfortranarray(arr)
+    flatf = edt.reshape(arrf, (12,))
+    assert np.array_equal(flatf, arrf.ravel(order="F"))
