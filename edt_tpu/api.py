@@ -29,6 +29,14 @@ from edt_tpu.utils import host_reference
 _DEVICE_MAX_AXIS = 8192
 
 
+def _use_pallas():
+    import os
+
+    if os.environ.get("EDT_TPU_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _order_of(data: np.ndarray) -> str:
     return "F" if data.flags.f_contiguous and not data.flags.c_contiguous else "C"
 
@@ -75,9 +83,12 @@ def _as_device_labels(data: np.ndarray) -> np.ndarray:
     raise TypeError(f"Unsupported data type: {dt}")
 
 
-@functools.partial(jax.jit, static_argnames=("black_border",))
-def _edtsq_device(labels, anisotropy, black_border):
-    return compose.edtsq(labels, anisotropy, black_border)
+@functools.partial(jax.jit, static_argnames=("black_border", "use_pallas"))
+def _edtsq_device(labels, anisotropy, black_border, use_pallas=False):
+    return compose.edtsq(
+        labels, anisotropy, black_border,
+        minplus_fn=compose.default_minplus_fn(use_pallas),
+    )
 
 
 def _normalize_anisotropy(anisotropy, dims):
@@ -142,7 +153,10 @@ def edtsq(
     else:
         labels = _as_device_labels(data)
         out = _edtsq_device(
-            jnp.asarray(labels), jnp.asarray(anisotropy), bool(black_border)
+            jnp.asarray(labels),
+            jnp.asarray(anisotropy),
+            bool(black_border),
+            use_pallas=_use_pallas(),
         )
         result = np.array(out)  # writable host copy
 

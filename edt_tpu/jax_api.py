@@ -1,0 +1,23 @@
+"""Device-native API: jittable, jnp-in/jnp-out, composable with jax
+transforms (jit/grad/vmap/shard_map).
+
+    import edt_tpu.jax_api as edtj
+    d2 = edtj.edtsq(labels, (1.0, 1.0, 1.0), black_border=True)
+
+For the NumPy drop-in API use the top-level edt_tpu module instead.
+"""
+
+from edt_tpu.ops.compose import edt, edtsq, sdf, sdfsq, default_minplus_fn
+from edt_tpu.models.soft import (
+    edtsq_from_heights,
+    soft_edtsq,
+    soft_sdfsq,
+    default_barrier,
+)
+from edt_tpu.parallel.sharded import edtsq_sharded, edt_sharded, sdf_sharded
+
+__all__ = [
+    "edt", "edtsq", "sdf", "sdfsq", "default_minplus_fn",
+    "edtsq_from_heights", "soft_edtsq", "soft_sdfsq", "default_barrier",
+    "edtsq_sharded", "edt_sharded", "sdf_sharded",
+]

@@ -1,0 +1,217 @@
+"""Differentiable (soft) squared Euclidean distance transforms.
+
+The hard multi-label EDT is not differentiable (labels are discrete, and
+the reference's argmin is buried in sequential C++ scans,
+/root/reference/src/edt.hpp:168-313). Here the transform is re-posed on a
+continuous *height field* h:
+
+    d(x) = min_v ( h(v) + sum_k w_k^2 (x_k - v_k)^2 )
+
+h(v) = 0 marks a source (background); h(v) = +B (a large barrier) marks
+solid foreground; intermediate values are soft occupancy. When h = B * occ
+with occ in {0,1}, d equals the binary squared EDT clamped at B. The
+transform is *separable*: one 1-D min-plus pass per axis, exactly like the
+hard transform's Saito decomposition.
+
+Differentiation:
+
+  * temperature == 0 (hard min): a custom VJP stores only the per-pass
+    argmin indices and scatter-adds cotangents back to the winning source
+    of each voxel — O(voxels) residual memory instead of the O(voxels * n)
+    a naive AD through the min reduction would keep.
+  * temperature > 0 (softmin): min is replaced by
+    -t * logsumexp(-cost / t).  Because exp(-(h + q1 + q2 + q3)/t)
+    factorizes over axes, separable softmin passes compute the *exact*
+    joint softmin over all of 3-D space — smooth everywhere in h.
+
+black_border adds the usual implicit wall parabolas per axis
+(w^2 (i+1)^2, w^2 (n-i)^2 — reference edt.hpp:231-243).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+F32 = jnp.float32
+INF = jnp.inf
+
+_ROW_CHUNK = 256
+
+
+def _chunk_rows(f, row_chunk):
+    R, n = f.shape
+    pad = (-R) % row_chunk
+    if pad:
+        f = jnp.concatenate([f, jnp.full((pad, n), jnp.inf, f.dtype)], axis=0)
+    return f.reshape(-1, row_chunk, n), pad
+
+
+# ---------------- hard min with argmin-residual VJP ----------------
+
+
+def _minplus_hard_with_arg(f, w2):
+    """(R, n) -> (d, argj) brute-force unmasked min-plus along axis -1."""
+    R, n = f.shape
+    i = jnp.arange(n, dtype=F32)
+    diff = i[:, None] - i[None, :]
+    quad = diff * diff
+
+    def one(fc):
+        cost = fc[:, None, :] + w2 * quad  # (rc, n_i, n_j)
+        return jnp.min(cost, -1), jnp.argmin(cost, -1).astype(jnp.int32)
+
+    if R <= _ROW_CHUNK:
+        return one(f)
+    fc, pad = _chunk_rows(f, _ROW_CHUNK)
+    d, a = lax.map(one, fc)
+    d = d.reshape(-1, n)[:R]
+    a = a.reshape(-1, n)[:R]
+    return d, a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _minplus_hard(f, w2):
+    d, _ = _minplus_hard_with_arg(f, w2)
+    return d
+
+
+def _minplus_hard_fwd(f, w2):
+    d, argj = _minplus_hard_with_arg(f, w2)
+    return d, (argj, w2, f.shape[1])
+
+
+def _minplus_hard_bwd(res, g):
+    argj, w2, n = res
+    R = argj.shape[0]
+    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+    # d[r, i] = f[r, argj[r, i]] + w2 * (i - argj)^2
+    df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
+    i = jnp.arange(n, dtype=F32)[None, :]
+    dw2 = jnp.sum(g * (i - argj.astype(F32)) ** 2)
+    return df, dw2
+
+
+_minplus_hard.defvjp(_minplus_hard_fwd, _minplus_hard_bwd)
+
+
+# ---------------- softmin ----------------
+
+
+def _minplus_soft(f, w2, temperature):
+    """Softmin-plus: -t * logsumexp(-(f_j + w2 (i-j)^2) / t) along axis -1."""
+    R, n = f.shape
+    t = temperature
+    i = jnp.arange(n, dtype=F32)
+    diff = i[:, None] - i[None, :]
+    quad = diff * diff
+
+    def one(fc):
+        cost = fc[:, None, :] + w2 * quad
+        return -t * jax.nn.logsumexp(-cost / t, axis=-1)
+
+    if R <= _ROW_CHUNK:
+        return one(f)
+    fc, pad = _chunk_rows(f, _ROW_CHUNK)
+    d = lax.map(one, fc)
+    return d.reshape(-1, n)[:R]
+
+
+# ---------------- passes and composition ----------------
+
+
+def _soft_pass(f, w, black_border, temperature):
+    """One differentiable min-plus pass along the last axis of f."""
+    n = f.shape[-1]
+    w = jnp.asarray(w, F32)
+    w2 = w * w
+    shape = f.shape
+    f2 = f.reshape(-1, n)
+    if temperature and temperature > 0.0:
+        d = _minplus_soft(f2, w2, jnp.asarray(temperature, F32))
+    else:
+        d = _minplus_hard(f2, w2)
+    d = d.reshape(shape)
+    if black_border:
+        idx = jnp.arange(n, dtype=F32)
+        lwall = w2 * (idx + 1.0) ** 2
+        rwall = w2 * (n - idx) ** 2
+        walls = jnp.minimum(lwall, rwall)
+        if temperature and temperature > 0.0:
+            t = jnp.asarray(temperature, F32)
+            d = -t * jnp.logaddexp(-d / t, -walls / t)
+        else:
+            d = jnp.minimum(d, walls)
+    return d
+
+
+def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
+                       axis_name=None):
+    """Differentiable squared EDT of a height field (N-D, separable).
+
+    h: (..., ) float32 heights; 0 at sources, +barrier at solid foreground.
+    Returns squared distances d with dd/dh defined everywhere (subgradient
+    at ties for temperature == 0).
+
+    axis_name: if set, h is the local slab of a volume sharded along axis 0
+    inside a shard_map over that mesh axis; the axis-0 pass rotates the
+    sharded axis via all_to_all (differentiable — its transpose is the
+    reverse all_to_all), exactly like edt_tpu.parallel.edtsq_sharded.
+    """
+    nd = h.ndim
+    anisotropy = jnp.asarray(anisotropy, F32).reshape(nd)
+    f = h.astype(F32)
+    for ax in range(nd - 1, 0, -1):
+        f = jnp.moveaxis(
+            _soft_pass(jnp.moveaxis(f, ax, -1), anisotropy[ax], black_border,
+                       temperature),
+            -1,
+            ax,
+        )
+    if axis_name is not None:
+        if nd != 3:
+            raise ValueError("sharded soft EDT requires a 3-D volume")
+        f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0, tiled=True)
+    f = jnp.moveaxis(
+        _soft_pass(jnp.moveaxis(f, 0, -1), anisotropy[0], black_border,
+                   temperature),
+        -1,
+        0,
+    )
+    if axis_name is not None:
+        f = lax.all_to_all(f, axis_name, split_axis=0, concat_axis=2, tiled=True)
+    return f
+
+
+def default_barrier(shape, anisotropy):
+    """A height larger than any achievable squared distance in the volume."""
+    anisotropy = jnp.asarray(anisotropy, F32).reshape(len(shape))
+    return jnp.sum((anisotropy * jnp.asarray(shape, F32)) ** 2) * 4.0
+
+
+def soft_edtsq(occupancy, anisotropy, black_border=False, barrier=None,
+               temperature=0.0, axis_name=None):
+    """Squared EDT of a soft occupancy map (1 = foreground, 0 = background).
+
+    Differentiable w.r.t. occupancy. With binary occupancy and the default
+    barrier this matches the hard binary edtsq wherever the hard result is
+    finite, and returns ~barrier where it is infinite.
+    """
+    if barrier is None:
+        barrier = default_barrier(occupancy.shape, anisotropy)
+    h = jnp.asarray(barrier, F32) * occupancy.astype(F32)
+    return edtsq_from_heights(h, anisotropy, black_border, temperature,
+                              axis_name=axis_name)
+
+
+def soft_sdfsq(occupancy, anisotropy, black_border=False, barrier=None,
+               temperature=0.0, axis_name=None):
+    """Differentiable signed squared distance: d(occ) - d(1 - occ)."""
+    fg = soft_edtsq(occupancy, anisotropy, black_border, barrier, temperature,
+                    axis_name)
+    bg = soft_edtsq(1.0 - occupancy.astype(F32), anisotropy, black_border,
+                    barrier, temperature, axis_name)
+    return fg - bg

@@ -24,6 +24,17 @@ import jax.numpy as jnp
 from edt_tpu.ops import core
 
 
+def default_minplus_fn(use_pallas=None):
+    """Pick the min-plus backend: Pallas kernel on TPU, fused jnp elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from edt_tpu.ops import pallas_kernels
+
+        return pallas_kernels.make_minplus_fn(masked=True)
+    return None
+
+
 def _along_last(fn, axis, *arrays):
     """Move ``axis`` of every array to -1, call fn, move the result back."""
     moved = [jnp.moveaxis(a, axis, -1) for a in arrays]

@@ -183,7 +183,8 @@ def parabolic_pass_sq(
     evaluated as a masked min-plus instead of a sequential envelope scan.
 
     ``minplus_fn``, if given, overrides the core min-plus evaluation
-    (e.g. with a Pallas TPU kernel); signature (f2d, seg2d, w2) -> d2d.
+    (e.g. with a Pallas TPU kernel); signature
+    (f2d, seg_start2d, seg_end2d, w2) -> d2d.
     """
     n = f.shape[-1]
     if n == 0:
@@ -198,7 +199,7 @@ def parabolic_pass_sq(
     if minplus_fn is None:
         d = minplus_masked(f2, seg2, w2, row_chunk=row_chunk)
     else:
-        d = minplus_fn(f2, seg2, w2)
+        d = minplus_fn(f2, seg2, end.reshape(-1, n), w2)
     d = d.reshape(shape)
 
     d = border_envelopes_sq(d, start, end, n, w2, black_border)

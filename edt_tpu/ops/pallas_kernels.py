@@ -47,9 +47,10 @@ def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked):
     n = n_tiles * TILE
 
     # (TILE, TILE) matrix of (i - j) offsets within a tile pair.
-    ii = lax.broadcasted_iota(F32, (TILE, TILE), 0)
-    jj = lax.broadcasted_iota(F32, (TILE, TILE), 1)
-    dmat = ii - jj
+    # (iota must be integer-typed on TPU; subtract in i32 then convert.)
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (ii - jj).astype(F32)
 
     def per_target_tile(it, _):
         i0 = it * TILE
@@ -143,24 +144,11 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False):
 
 
 def make_minplus_fn(masked=True, interpret=False):
-    """Adapter with the (f2d, seg2d, w2) signature used by ops.core.
+    """Adapter with the (f2d, seg_start2d, seg_end2d, w2) signature used by
+    ops.core.parabolic_pass_sq."""
 
-    seg2d is the seg_start array; seg_end is recomputed from it (cheap) so
-    the adapter stays drop-in. Prefer calling minplus_pallas directly when
-    both bounds are already available.
-    """
-
-    def fn(f2d, seg2d, w2):
-        n = f2d.shape[-1]
-        idx = jnp.arange(n, dtype=I32)
-        # seg_end from seg_start: positions where the *next* voxel starts a
-        # new segment.  is_start[i] = (seg_start[i] == i)
-        is_start = seg2d == idx
-        nxt = jnp.concatenate(
-            [is_start[..., 1:], jnp.ones_like(is_start[..., :1])], axis=-1
-        )
-        seg_end = lax.cummin(jnp.where(nxt, idx + 1, n), axis=1, reverse=True)
-        return minplus_pallas(f2d, seg2d, seg_end, w2, masked=masked,
+    def fn(f2d, seg_start, seg_end, w2):
+        return minplus_pallas(f2d, seg_start, seg_end, w2, masked=masked,
                               interpret=interpret)
 
     return fn

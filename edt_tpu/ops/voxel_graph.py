@@ -28,9 +28,12 @@ import jax.numpy as jnp
 from edt_tpu.ops import compose
 
 
-@functools.partial(jax.jit, static_argnames=("black_border",))
-def _edtsq_device(labels, anisotropy, black_border):
-    return compose.edtsq(labels, anisotropy, black_border)
+@functools.partial(jax.jit, static_argnames=("black_border", "use_pallas"))
+def _edtsq_device(labels, anisotropy, black_border, use_pallas=False):
+    return compose.edtsq(
+        labels, anisotropy, black_border,
+        minplus_fn=compose.default_minplus_fn(use_pallas),
+    )
 
 
 def _doubled_2d(fg, g, black_border):
@@ -94,10 +97,13 @@ def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):
     else:
         D = _doubled_3d(fg, graph, black_border)
 
+    from edt_tpu.api import _use_pallas
+
     out = _edtsq_device(
         jnp.asarray(D),
         jnp.asarray(anisotropy / 2.0, dtype=jnp.float32),
         bool(black_border),
+        use_pallas=_use_pallas(),
     )
     out = np.asarray(out)
     sub = out[tuple(slice(0, None, 2) for _ in range(nd))]

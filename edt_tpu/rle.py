@@ -64,9 +64,19 @@ def runs(labels):
     edt.pyx:882-894.
     """
     flat = _flat_memory_order(np.asarray(labels))
-    if _native is not None and flat.dtype in _native.SUPPORTED_DTYPES:
+    if _use_native(flat):
         return _native.extract_runs(flat)
     return _runs_numpy(flat)
+
+
+def _use_native(flat, *more):
+    if _native is None:
+        return False
+    arrs = (flat,) + more
+    return all(
+        a.dtype in _native.SUPPORTED_DTYPES and a.flags.c_contiguous
+        for a in arrs
+    )
 
 
 def _runs_numpy(flat):
@@ -80,7 +90,8 @@ def _runs_numpy(flat):
     keys = flat[starts]
     for k, s, e in zip(keys.tolist(), starts.tolist(), ends.tolist()):
         out.setdefault(k, []).append((s, e))
-    return out
+    # reference returns a std::map -> keys ascend (edt_voxel_graph.hpp:239)
+    return dict(sorted(out.items()))
 
 
 def _check_runs(rns, voxels):
@@ -97,7 +108,7 @@ def draw(label, runs_, image):
     """
     flat = _flat_memory_order(np.asarray(image))
     _check_runs(runs_, flat.size)
-    if _native is not None and flat.dtype in _native.SUPPORTED_DTYPES:
+    if runs_ and _use_native(flat):
         _native.set_run_voxels(label, runs_, flat)
         return image
     for s, e in runs_:
@@ -120,10 +131,8 @@ def transfer(runs_, src, dest):
     dest_flat = _flat_memory_order(np.asarray(dest))
     assert src_flat.size == dest_flat.size
     _check_runs(runs_, dest_flat.size)
-    if (
-        _native is not None
-        and src_flat.dtype in _native.SUPPORTED_DTYPES
-        and src_flat.dtype == dest_flat.dtype
+    if runs_ and src_flat.dtype == dest_flat.dtype and _use_native(
+        src_flat, dest_flat
     ):
         _native.transfer_run_voxels(runs_, src_flat, dest_flat)
         return dest

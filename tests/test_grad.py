@@ -1,0 +1,91 @@
+"""Gradient checks for the differentiable (soft) EDT vs finite differences
+(BASELINE config 3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edt_tpu.models import soft
+from edt_tpu.ops import compose
+
+
+def test_soft_matches_hard_binary():
+    occ = (np.random.rand(10, 12, 14) > 0.4).astype(np.float32)
+    hard = compose.edtsq(
+        jnp.asarray(occ.astype(np.uint8)), jnp.ones(3, jnp.float32), False
+    )
+    sft = soft.soft_edtsq(jnp.asarray(occ), (1.0, 1.0, 1.0), black_border=False)
+    finite = np.isfinite(np.array(hard))
+    assert np.allclose(np.array(sft)[finite], np.array(hard)[finite])
+    # infinite hard distances surface as >= barrier/2 in the soft transform
+    assert np.all(np.array(sft)[~finite] >= 100.0)
+
+
+def test_soft_matches_hard_black_border():
+    occ = (np.random.rand(9, 8, 7) > 0.3).astype(np.float32)
+    hard = compose.edtsq(
+        jnp.asarray(occ.astype(np.uint8)), jnp.ones(3, jnp.float32), True
+    )
+    sft = soft.soft_edtsq(jnp.asarray(occ), (1.0, 1.0, 1.0), black_border=True)
+    assert np.allclose(np.array(sft), np.array(hard))
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.5])
+def test_grad_matches_finite_differences(temperature):
+    occ = jnp.asarray(np.clip(np.random.rand(5, 6, 7), 0.05, 0.95).astype(np.float32))
+
+    def loss(o):
+        return jnp.sum(
+            soft.soft_edtsq(o, (1.0, 1.0, 1.0), black_border=True,
+                            barrier=100.0, temperature=temperature)
+        ) / o.size
+
+    g = jax.grad(loss)(occ)
+    eps = 1e-3
+    for idx in [(2, 3, 4), (0, 0, 0), (4, 5, 6)]:
+        e = jnp.zeros_like(occ).at[idx].set(eps)
+        fd = (loss(occ + e) - loss(occ - e)) / (2 * eps)
+        assert np.isclose(float(g[idx]), float(fd), rtol=2e-2, atol=2e-4), (
+            temperature, idx, float(g[idx]), float(fd))
+
+
+def test_grad_anisotropic_softmin():
+    occ = jnp.asarray(np.clip(np.random.rand(4, 5, 6), 0.1, 0.9).astype(np.float32))
+
+    def loss(o):
+        d = soft.soft_edtsq(o, (2.0, 1.0, 3.0), black_border=True,
+                            barrier=200.0, temperature=1.0)
+        return jnp.mean(d * d)
+
+    g = jax.grad(loss)(occ)
+    assert np.all(np.isfinite(np.array(g)))
+    eps = 1e-3
+    idx = (1, 2, 3)
+    e = jnp.zeros_like(occ).at[idx].set(eps)
+    fd = (loss(occ + e) - loss(occ - e)) / (2 * eps)
+    assert np.isclose(float(g[idx]), float(fd), rtol=2e-2, atol=2e-3)
+
+
+def test_separable_softmin_is_exact_joint_softmin():
+    # softmin over all of 2-D space must equal composing 1-D softmin passes
+    h = jnp.asarray(np.random.rand(4, 5).astype(np.float32) * 10)
+    t = 0.7
+    d_sep = soft.edtsq_from_heights(h, (1.0, 1.0), temperature=t)
+    ii, jj = np.meshgrid(np.arange(4), np.arange(5), indexing="ij")
+    cost = (
+        h[None, None, :, :]
+        + ((ii[:, :, None, None] - ii[None, None, :, :]) ** 2)
+        + ((jj[:, :, None, None] - jj[None, None, :, :]) ** 2)
+    )
+    d_joint = -t * jax.nn.logsumexp(-cost.reshape(4, 5, -1) / t, axis=-1)
+    assert np.allclose(np.array(d_sep), np.array(d_joint), rtol=1e-5, atol=1e-5)
+
+
+def test_sdf_soft_sign():
+    occ = (np.random.rand(8, 9, 10) > 0.5).astype(np.float32)
+    s = soft.soft_sdfsq(jnp.asarray(occ), (1.0, 1.0, 1.0), black_border=True)
+    s = np.array(s)
+    assert np.all(s[occ > 0.5] > 0)
+    assert np.all(s[occ <= 0.5] < 0)
