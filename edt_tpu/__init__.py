@@ -28,6 +28,8 @@ from edt_tpu.api import (
     edt2dsq,
     edt3d,
     edt3dsq,
+    binary_edt,
+    binary_edtsq,
 )
 from edt_tpu.rle import each, runs, draw, erase, transfer, reshape
 
@@ -36,6 +38,7 @@ __version__ = "0.1.0"
 __all__ = [
     "edt", "edtsq", "sdf", "sdfsq",
     "edt1d", "edt1dsq", "edt2d", "edt2dsq", "edt3d", "edt3dsq",
+    "binary_edt", "binary_edtsq",
     "each", "runs", "draw", "erase", "transfer", "reshape",
     "__version__",
 ]

@@ -31,7 +31,18 @@ def default_minplus_fn(use_pallas=None):
     if use_pallas:
         from edt_tpu.ops import pallas_kernels
 
-        return pallas_kernels.make_minplus_fn(masked=True)
+        return pallas_kernels.make_minplus_fn()
+    return None
+
+
+def default_parabolic_fn(use_pallas=None):
+    """Fully fused Pallas parabolic pass on TPU; None elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from edt_tpu.ops import pallas_kernels
+
+        return pallas_kernels.make_parabolic_fn()
     return None
 
 
@@ -47,6 +58,8 @@ def edtsq(
     anisotropy: jax.Array,
     black_border: bool = False,
     minplus_fn=None,
+    binary: bool = False,
+    parabolic_fn=None,
 ) -> jax.Array:
     """Squared multi-label anisotropic EDT of a 1/2/3-D (or N-D) volume.
 
@@ -54,6 +67,9 @@ def edtsq(
     as walls at distance w (reference README.md:21-24).
     anisotropy: (ndim,) physical voxel pitch per axis (axis k <-> entry k).
     black_border: treat the volume edge as background.
+    binary: fast path for two-valued volumes (nonzero = one foreground
+    label), auto-selected for bool inputs at the API layer like the
+    reference's bool* overload (edt.hpp:580-587).
 
     Differentiable w.r.t. nothing (labels are discrete); for gradients use
     edt_tpu.models.soft.
@@ -70,14 +86,26 @@ def edtsq(
 
     # Passes 2..nd: parabolic along each remaining axis.
     for ax in range(nd - 2, -1, -1):
-        f = _along_last(
-            lambda ff, lab, _ax=ax: core.parabolic_pass_sq(
-                ff, lab, anisotropy[_ax], black_border, minplus_fn=minplus_fn
-            ),
-            ax,
-            f,
-            labels,
-        )
+        if binary:
+            f = _along_last(
+                lambda ff, _ax=ax: core.parabolic_pass_sq(
+                    ff, ff, anisotropy[_ax], black_border,
+                    minplus_fn=minplus_fn, binary=True,
+                    parabolic_fn=parabolic_fn,
+                ),
+                ax,
+                f,
+            )
+        else:
+            f = _along_last(
+                lambda ff, lab, _ax=ax: core.parabolic_pass_sq(
+                    ff, lab, anisotropy[_ax], black_border,
+                    minplus_fn=minplus_fn, parabolic_fn=parabolic_fn,
+                ),
+                ax,
+                f,
+                labels,
+            )
     return f
 
 

@@ -42,7 +42,8 @@ TILE = 128
 _INF = float("inf")
 
 
-def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked):
+def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked,
+                    block_rows=BLOCK_ROWS):
     w2 = w2_ref[0]
     n = n_tiles * TILE
 
@@ -87,7 +88,7 @@ def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked):
                 cost = jnp.where(same, cost, _INF)
             return jnp.minimum(acc, jnp.min(cost, axis=-1))
 
-        acc0 = jnp.full((BLOCK_ROWS, TILE), _INF, F32)
+        acc0 = jnp.full((block_rows, TILE), _INF, F32)
         acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
         out_ref[:, pl.ds(i0, TILE)] = acc
         return 0
@@ -103,8 +104,11 @@ def _pad_to(x, rows, cols, value):
     return out.at[:R, :n].set(x)
 
 
-@functools.partial(jax.jit, static_argnames=("masked", "interpret"))
-def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("masked", "interpret", "block_rows")
+)
+def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
+                   block_rows=BLOCK_ROWS):
     """Segment-masked min-plus over rows; f (R, n) f32 -> (R, n) f32.
 
     seg_start/seg_end: int32 per-voxel segment bounds along the row
@@ -113,7 +117,7 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False):
     """
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
-    Rp = -(-R // BLOCK_ROWS) * BLOCK_ROWS
+    Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF)
@@ -121,21 +125,22 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False):
     sep = _pad_to(seg_end.astype(I32), Rp, np_, 0)
     w2v = jnp.asarray(w2, F32).reshape(1)
 
-    kernel = functools.partial(_minplus_kernel, n_tiles=n_tiles, masked=masked)
-    grid = (Rp // BLOCK_ROWS,)
+    kernel = functools.partial(_minplus_kernel, n_tiles=n_tiles, masked=masked,
+                               block_rows=block_rows)
+    grid = (Rp // block_rows,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # w2 scalar
-            pl.BlockSpec((BLOCK_ROWS, np_), lambda r: (r, 0),
+            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, np_), lambda r: (r, 0),
+            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, np_), lambda r: (r, 0),
+            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, np_), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
         interpret=interpret,
@@ -143,11 +148,218 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False):
     return out[:R, :n]
 
 
-def make_minplus_fn(masked=True, interpret=False):
-    """Adapter with the (f2d, seg_start2d, seg_end2d, w2) signature used by
-    ops.core.parabolic_pass_sq."""
+# ---------------------------------------------------------------------------
+# Fused parabolic pass: segment bounds, min-plus, border walls and
+# background zeroing all inside one kernel. Replaces the jnp cummax/cummin
+# segment machinery + elementwise envelope chain of ops.core (worth ~20% of
+# the 512^3 transform) and halves the kernel's HBM inputs (f + labels
+# instead of f + seg_start + seg_end).
+# ---------------------------------------------------------------------------
 
-    def fn(f2d, seg_start, seg_end, w2):
+
+def _lane_iota(block_rows):
+    return lax.broadcasted_iota(I32, (1, TILE), 1)
+
+
+def _prefix_max_lanes(v, carry):
+    """Inclusive prefix max along lanes of (BR, TILE) with incoming carry."""
+    lanes = _lane_iota(v.shape[0])
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        shifted = pltpu.roll(v, k, axis=1)
+        v = jnp.where(lanes >= k, jnp.maximum(v, shifted), v)
+    v = jnp.maximum(v, carry)
+    return v, v[:, TILE - 1:TILE]
+
+
+def _suffix_min_lanes(v, carry):
+    """Inclusive suffix min along lanes of (BR, TILE) with incoming carry."""
+    lanes = _lane_iota(v.shape[0])
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        shifted = pltpu.roll(v, TILE - k, axis=1)  # == roll by -k
+        v = jnp.where(lanes < TILE - k, jnp.minimum(v, shifted), v)
+    v = jnp.minimum(v, carry)
+    return v, v[:, 0:1]
+
+
+def _fused_parabolic_kernel(
+    w2_ref, nreal_ref, f_ref, lab_ref, out_ref, ss_ref, se_ref,
+    *, n_tiles, masked, black_border,
+):
+    w2 = w2_ref[0]
+    n_real = nreal_ref[0]
+    n = n_tiles * TILE
+    lanes = _lane_iota(0)
+
+    if masked:
+        # ---- phase 1: seg_start (cummax of start positions) ----
+        def fwd(t, carry):
+            carry_lab, carry_start = carry
+            lab = lab_ref[:, pl.ds(t * TILE, TILE)]
+            prev = pltpu.roll(lab, 1, axis=1)
+            prev = jnp.where(lanes == 0, carry_lab, prev)
+            gidx = lanes + t * TILE
+            is_start = (lab != prev) | (gidx == 0)
+            val = jnp.where(is_start, gidx, 0)
+            ss, carry_start = _prefix_max_lanes(val, carry_start)
+            ss_ref[:, pl.ds(t * TILE, TILE)] = ss
+            return lab[:, TILE - 1:TILE], carry_start
+
+        zero_col = jnp.zeros(lab_ref.shape[:1] + (1,), lab_ref.dtype)
+        zero_i = jnp.zeros(lab_ref.shape[:1] + (1,), I32)
+        lax.fori_loop(0, n_tiles, fwd, (zero_col, zero_i))
+
+        # ---- phase 2: seg_end (reverse cummin of end positions) ----
+        def bwd(k, carry):
+            t = n_tiles - 1 - k
+            carry_lab, carry_end = carry
+            lab = lab_ref[:, pl.ds(t * TILE, TILE)]
+            nxt = pltpu.roll(lab, TILE - 1, axis=1)  # == roll by -1
+            nxt = jnp.where(lanes == TILE - 1, carry_lab, nxt)
+            gidx = lanes + t * TILE
+            is_end = (lab != nxt) | (gidx == n - 1)
+            val = jnp.where(is_end, gidx + 1, n)
+            se, carry_end = _suffix_min_lanes(val, carry_end)
+            se_ref[:, pl.ds(t * TILE, TILE)] = se
+            return lab[:, 0:1], carry_end
+
+        full_i = jnp.full(lab_ref.shape[:1] + (1,), n, I32)
+        lax.fori_loop(0, n_tiles, bwd, (zero_col, full_i))
+
+    # ---- phase 3: min-plus + walls + zeroing ----
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (ii - jj).astype(F32)
+
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        f_i = f_ref[:, pl.ds(i0, TILE)]
+        fmax = jnp.max(f_i)
+        radius_f = jnp.sqrt(fmax / w2)
+        radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
+        if masked:
+            ss_i = ss_ref[:, pl.ds(i0, TILE)]
+            se_i = se_ref[:, pl.ds(i0, TILE)]
+            seg_lo = jnp.min(ss_i)
+            seg_hi = jnp.max(se_i)
+        else:
+            seg_lo = jnp.int32(0)
+            seg_hi = n_real
+        j_lo = jnp.maximum(seg_lo, i0 - radius)
+        j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
+        jt_lo = jnp.maximum(j_lo // TILE, 0)
+        jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
+
+        def per_candidate_tile(jt, acc):
+            j0 = jt * TILE
+            f_j = f_ref[:, pl.ds(j0, TILE)]
+            d = dmat + (i0 - j0).astype(F32)
+            quad = w2 * (d * d)
+            cost = f_j[:, None, :] + quad[None, :, :]
+            if masked:
+                ss_j = ss_ref[:, pl.ds(j0, TILE)]
+                same = ss_i[:, :, None] == ss_j[:, None, :]
+                cost = jnp.where(same, cost, _INF)
+            return jnp.minimum(acc, jnp.min(cost, axis=-1))
+
+        acc0 = jnp.full(f_i.shape, _INF, F32)
+        acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
+
+        gi = (lanes + i0).astype(I32)
+        if masked:
+            li = (gi - ss_i + 1).astype(F32)
+            ri = (se_i - gi).astype(F32)
+            lwall = w2 * (li * li)
+            rwall = w2 * (ri * ri)
+            if not black_border:
+                lwall = jnp.where(ss_i > 0, lwall, _INF)
+                rwall = jnp.where(se_i < n_real, rwall, _INF)
+            acc = jnp.minimum(acc, jnp.minimum(lwall, rwall))
+            lab_i = lab_ref[:, pl.ds(i0, TILE)]
+            acc = jnp.where(lab_i == 0, jnp.float32(0.0), acc)
+        elif black_border:
+            li = (gi + 1).astype(F32)
+            ri = (n_real - gi).astype(F32)
+            acc = jnp.minimum(acc, w2 * jnp.minimum(li * li, ri * ri))
+        out_ref[:, pl.ds(i0, TILE)] = acc
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("black_border", "masked", "interpret", "block_rows"),
+)
+def parabolic_fused_pallas(f, labels, w2, black_border, masked=True,
+                           interpret=False, block_rows=BLOCK_ROWS):
+    """Full multi-label parabolic pass along axis -1 in one kernel.
+
+    f: (R, n) f32 squared distances; labels: (R, n) int32/float32 (ignored
+    when masked=False). Implements the semantics of reference
+    squared_edt_1d_parabolic_multi_seg + border parabolas
+    (edt.hpp:231-243, 344-377) plus background zeroing.
+    """
+    R, n = f.shape
+    n_tiles = max(1, -(-n // TILE))
+    Rp = -(-R // block_rows) * block_rows
+    np_ = n_tiles * TILE
+
+    fp = _pad_to(f.astype(F32), Rp, np_, _INF)
+    lab_dtype = labels.dtype if masked else jnp.int32
+    if masked:
+        if not jnp.issubdtype(lab_dtype, jnp.floating):
+            labels = labels.astype(I32)
+        labp = _pad_to(labels, Rp, np_, 0)
+    else:
+        labp = fp  # unused by the kernel; reuse f to avoid a dead buffer
+    w2v = jnp.asarray(w2, F32).reshape(1)
+    nrv = jnp.asarray(n, I32).reshape(1)
+
+    kernel = functools.partial(
+        _fused_parabolic_kernel, n_tiles=n_tiles, masked=masked,
+        black_border=black_border,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, np_), I32),
+            pltpu.VMEM((block_rows, np_), I32),
+        ],
+        interpret=interpret,
+    )(w2v, nrv, fp, labp)
+    return out[:R, :n]
+
+
+def make_parabolic_fn(interpret=False, block_rows=BLOCK_ROWS):
+    """Full-pass adapter used by ops.core/compose: signature
+    (f2d, labels2d, w2, black_border, binary) -> d2d."""
+
+    def fn(f2d, labels2d, w2, black_border, binary):
+        return parabolic_fused_pallas(
+            f2d, labels2d, w2, black_border, masked=not binary,
+            interpret=interpret, block_rows=block_rows,
+        )
+
+    return fn
+
+
+def make_minplus_fn(interpret=False):
+    """Adapter with the (f2d, seg_start2d, seg_end2d, w2, masked) signature
+    used by ops.core.parabolic_pass_sq."""
+
+    def fn(f2d, seg_start, seg_end, w2, masked=True):
         return minplus_pallas(f2d, seg_start, seg_end, w2, masked=masked,
                               interpret=interpret)
 

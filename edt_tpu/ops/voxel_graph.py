@@ -67,6 +67,50 @@ def _doubled_3d(fg, g, black_border):
     return D
 
 
+def doubled_3d_jnp(fg, g, black_border, zero_tail=(True, True, True)):
+    """jnp version of the 2x upsample (device-side, shardable).
+
+    fg: (s0,s1,s2) uint8 foreground mask; g: same-shape uint8 graph.
+    zero_tail: whether this block holds the volume's last plane along each
+    axis (under sharding only the last shard zeroes its tail).
+    """
+    s0, s1, s2 = fg.shape
+    fg = fg.astype(jnp.uint8)
+    ex = fg & ((g >> 0) & 1)
+    ey = fg & ((g >> 2) & 1)
+    ez = fg & ((g >> 4) & 1)
+
+    # interleave along each axis: even site then odd site
+    def interleave(a, b, axis):
+        stacked = jnp.stack([a, b], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] *= 2
+        return stacked.reshape(shape)
+
+    # Build directly per the reference's site table
+    # (edt_voxel_graph.hpp:147-154): odd sites with >= 2 odd coords copy fg.
+    even_x_even_y = fg
+    odd_x_even_y = ex
+    even_x_odd_y = ey
+    odd_x_odd_y = fg
+    row_even = interleave(even_x_even_y, odd_x_even_y, 2)
+    row_odd = interleave(even_x_odd_y, odd_x_odd_y, 2)
+    plane_even = interleave(row_even, row_odd, 1)      # z even
+    row_even_zodd = interleave(ez, fg, 2)
+    row_odd_zodd = interleave(fg, fg, 2)
+    plane_odd = interleave(row_even_zodd, row_odd_zodd, 1)
+    D = interleave(plane_even, plane_odd, 0)           # (2s0, 2s1, 2s2)
+
+    if black_border:
+        if zero_tail[2]:
+            D = D.at[:, :, -1].set(0)
+        if zero_tail[1]:
+            D = D.at[:, -1, :].set(0)
+        if zero_tail[0]:
+            D = D.at[-1, :, :].set(0)
+    return D
+
+
 def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):
     """Squared EDT constrained by a directed voxel connectivity graph."""
     data = np.asarray(data)

@@ -100,6 +100,55 @@ def edtsq_sharded(
     return run(labels, anisotropy)
 
 
+def edtsq_voxel_graph_sharded(
+    labels, graph, anisotropy, black_border=False, *, mesh, axis_name="sp",
+    minplus_fn=None,
+):
+    """Voxel-connectivity-graph EDT, sharded along axis 0.
+
+    The 2x upsampling (reference edt_voxel_graph.hpp:120-214) is performed
+    per shard — interleaving a slab along its own axes is globally
+    consistent when shard boundaries align with voxel boundaries — so the
+    8x-memory doubled volume never exists unsharded. black_border's
+    last-plane zeroing along the sharded axis is applied only on the last
+    shard. "x" is the last array axis here (C-order convention).
+    """
+    from edt_tpu.ops.voxel_graph import doubled_3d_jnp
+
+    nd = labels.ndim
+    assert nd == 3
+    anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
+    nshards = mesh.shape[axis_name]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None, None)),
+        out_specs=P(axis_name, None, None),
+    )
+    def build(lab, g):
+        fg = (lab != 0).astype(jnp.uint8)
+        is_last = lax.axis_index(axis_name) == nshards - 1
+        D = doubled_3d_jnp(fg, g.astype(jnp.uint8), False)
+        if black_border:
+            D = D.at[:, :, -1].set(0)
+            D = D.at[:, -1, :].set(0)
+            D = jnp.where(
+                is_last, D.at[-1, :, :].set(0), D
+            )
+        return D
+
+    sharding = NamedSharding(mesh, P(axis_name, None, None))
+    labels = jax.device_put(labels, sharding)
+    graph = jax.device_put(graph, sharding)
+    doubled = build(labels, graph)
+    d2 = edtsq_sharded(
+        doubled, anisotropy / 2.0, black_border, mesh=mesh,
+        axis_name=axis_name, minplus_fn=minplus_fn,
+    )
+    return d2[::2, ::2, ::2]
+
+
 def edt_sharded(labels, anisotropy, black_border=False, *, mesh,
                 axis_name="sp", minplus_fn=None):
     return jnp.sqrt(

@@ -1,0 +1,75 @@
+"""Pallas kernels vs the pure-jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edt_tpu.ops import core, compose, pallas_kernels as pk
+
+
+def _random_case(R=13, n=200, nl=3, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, nl, size=(R, n)).astype(np.uint32)
+    f = (rng.random((R, n)).astype(np.float32) * 25)
+    f[labels == 0] = 0
+    return jnp.asarray(f), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("black_border", [False, True])
+def test_fused_masked_matches_core(black_border):
+    f, lab = _random_case()
+    w = jnp.float32(1.3)
+    ref = np.array(core.parabolic_pass_sq(f, lab, w, black_border))
+    out = np.array(
+        pk.parabolic_fused_pallas(f, lab, w * w, black_border, masked=True,
+                                  interpret=True)
+    )
+    fin = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(out), fin)
+    assert np.array_equal(out[fin], ref[fin])
+
+
+@pytest.mark.parametrize("black_border", [False, True])
+def test_fused_binary_matches_core(black_border):
+    rng = np.random.default_rng(1)
+    occ = rng.random((11, 180)) > 0.3
+    f = (rng.random((11, 180)).astype(np.float32) * 25)
+    f[~occ] = 0
+    fj = jnp.asarray(f)
+    lab = jnp.asarray(occ.astype(np.uint8))
+    w = jnp.float32(0.7)
+    ref = np.array(core.parabolic_pass_sq(fj, lab, w, black_border, binary=True))
+    out = np.array(
+        pk.parabolic_fused_pallas(fj, lab, w * w, black_border, masked=False,
+                                  interpret=True)
+    )
+    fin = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(out), fin)
+    assert np.allclose(out[fin], ref[fin], rtol=1e-6, atol=1e-5)
+
+
+def test_minplus_tiled_matches_core():
+    f, lab = _random_case(R=11, n=300, seed=2)
+    start, end = core.segment_bounds(lab)
+    w2 = jnp.float32(1.44)
+    ref = np.array(core.minplus_masked(f, start, w2))
+    out = np.array(
+        pk.minplus_pallas(f, start, end, w2, masked=True, interpret=True)
+    )
+    fin = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(out), fin)
+    assert np.array_equal(out[fin], ref[fin])
+
+
+def test_fused_3d_composition_matches():
+    rng = np.random.default_rng(5)
+    labels = jnp.asarray(rng.integers(0, 4, size=(10, 11, 12)).astype(np.uint32))
+    anis = jnp.asarray((2.0, 1.0, 3.0), jnp.float32)
+    from edt_tpu.ops import pallas_kernels
+
+    pf = pallas_kernels.make_parabolic_fn(interpret=True)
+    a = np.array(compose.edtsq(labels, anis, True))
+    b = np.array(compose.edtsq(labels, anis, True, parabolic_fn=pf))
+    assert np.array_equal(a, b)

@@ -92,6 +92,21 @@ def test_sharded_soft_grad():
     assert np.allclose(np.array(g1), np.array(g2), rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_voxel_graph():
+    from edt_tpu.parallel import edtsq_voxel_graph_sharded
+    import edt_tpu as edt
+
+    labels = np.ones((8, 6, 8), dtype=np.uint32)
+    graph = np.full((8, 6, 8), 0b111111, dtype=np.uint8)
+    graph[4, 3, 4] = 0b111110  # block +x out of one voxel
+    single = edt.edtsq(labels, voxel_graph=graph, black_border=True)
+    out = edtsq_voxel_graph_sharded(
+        jnp.asarray(labels), jnp.asarray(graph), (1.0, 1.0, 1.0), True,
+        mesh=_mesh(4),
+    )
+    assert np.allclose(np.array(out), single)
+
+
 def test_dryrun_entry():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -96,6 +96,18 @@ def test_voxel_connectivity_graph_3d():
     assert dt2[1, 1, 2] <= dt[1, 1, 2]
 
 
+def test_doubled_jnp_matches_numpy():
+    import jax.numpy as jnp
+    from edt_tpu.ops.voxel_graph import _doubled_3d, doubled_3d_jnp
+
+    for black_border in (False, True):
+        fg = (np.random.rand(5, 6, 7) > 0.3).astype(np.uint8)
+        g = np.random.randint(0, 64, size=(5, 6, 7)).astype(np.uint8)
+        a = _doubled_3d(fg, g, black_border)
+        b = np.array(doubled_3d_jnp(jnp.asarray(fg), jnp.asarray(g), black_border))
+        assert np.array_equal(a, b)
+
+
 def test_voxel_graph_multilabel_foreground_only():
     # voxel graph path reduces labels to a foreground mask
     # (reference edt_voxel_graph.hpp:145: labels[loc] > 0)
