@@ -75,10 +75,9 @@ def extract_runs(flat: np.ndarray):
     starts = starts[:count]
     ends = np.concatenate([starts[1:], [n]])
     keys = flat[starts]
-    for k, s, e in zip(keys.tolist(), starts.tolist(), ends.tolist()):
-        out.setdefault(k, []).append((s, e))
-    # reference returns a std::map -> keys ascend (edt_voxel_graph.hpp:239)
-    return dict(sorted(out.items()))
+    from edt_tpu.rle import _group_runs
+
+    return _group_runs(keys, starts, ends)
 
 
 def _runs_arrays(runs_):

@@ -149,6 +149,151 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
 
 
 # ---------------------------------------------------------------------------
+# Monge-windowed binary min-plus.
+#
+# The cost matrix c(i, j) = f[j] + w^2 (i-j)^2 is a Monge matrix, so the
+# leftmost argmin is non-decreasing in i (the property behind the
+# reference's sequential FH hull, edt.hpp:168-244). Phase A computes exact
+# leftmost argmins at the n_tiles+1 tile-boundary targets with a full
+# (radius-pruned) scan — 1/TILE of the brute-force work. Phase B then
+# evaluates each 128-target tile only over the window
+# [argmin(tile start), argmin(next tile start)], which monotonicity
+# guarantees contains every winner in the tile. Smooth distance fields
+# (e.g. the all-ones cube) collapse to ~1 candidate tile per target tile;
+# adversarial rows degrade gracefully to the radius-pruned scan.
+# ---------------------------------------------------------------------------
+
+
+def _argmin_boundary_kernel(w2_ref, f_ref, out_ref, *, n_tiles, n_points,
+                            p_pad):
+    w2 = w2_ref[0]
+    n = n_tiles * TILE
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+    plane = lax.broadcasted_iota(I32, (1, p_pad), 1)
+    br = f_ref.shape[0]
+
+    def per_point(p, wins):
+        ip = jnp.where(p < n_tiles, p * TILE, n - 1)
+        # f at the target: load the containing tile, select the lane
+        t_idx = ip // TILE
+        off = ip - t_idx * TILE
+        f_tile = f_ref[:, pl.ds(t_idx * TILE, TILE)]
+        # conservative radius: max over the block's rows of f at the target
+        f_at = jnp.max(jnp.where(lanes == off, f_tile, jnp.float32(0.0)))
+        radius = jnp.minimum(jnp.sqrt(f_at / w2), jnp.float32(n)).astype(I32) + 1
+        jt_lo = jnp.maximum((ip - radius) // TILE, 0)
+        jt_hi = jnp.minimum((ip + radius) // TILE + 1, n_tiles)
+
+        def per_j(jt, carry):
+            best, argj = carry
+            j0 = jt * TILE
+            jvec = lanes + j0
+            f_j = f_ref[:, pl.ds(j0, TILE)]
+            t = (ip - jvec).astype(F32)
+            cost = f_j + w2 * (t * t)
+            better = cost < best  # strict: keeps the leftmost on ties
+            best = jnp.where(better, cost, best)
+            argj = jnp.where(better, jvec, argj)
+            return best, argj
+
+        best0 = jnp.full((br, TILE), _INF, F32)
+        arg0 = jnp.zeros((br, TILE), I32)
+        best, argj = lax.fori_loop(jt_lo, jt_hi, per_j, (best0, arg0))
+        bestv = jnp.min(best, axis=1, keepdims=True)
+        jmin = jnp.min(jnp.where(best == bestv, argj, n), axis=1, keepdims=True)
+        jmin = jnp.minimum(jmin, n - 1)  # all-INF rows: harmless default
+        return jnp.where(plane == p, jmin, wins)
+
+    wins0 = jnp.zeros((br, p_pad), I32)
+    out_ref[:] = lax.fori_loop(0, n_points, per_point, wins0)
+
+
+def _minplus_windowed_kernel(w2_ref, f_ref, win_ref, out_ref, *, n_tiles):
+    """Binary (unmasked) min-plus using per-tile argmin windows."""
+    w2 = w2_ref[0]
+    n = n_tiles * TILE
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (ii - jj).astype(F32)
+
+    wins_all = win_ref[:]  # (BR, p_pad) — p_pad is a single lane tile
+    plane = lax.broadcasted_iota(I32, wins_all.shape, 1)
+
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        f_i = f_ref[:, pl.ds(i0, TILE)]
+        fmax = jnp.max(f_i)
+        radius = jnp.minimum(jnp.sqrt(fmax / w2), jnp.float32(n)).astype(I32) + 1
+        w_lo = jnp.min(jnp.where(plane == it, wins_all, n))
+        w_hi = jnp.max(jnp.where(plane == it + 1, wins_all, 0))
+        j_lo = jnp.maximum(w_lo, i0 - radius)
+        j_hi = jnp.minimum(w_hi + 1, i0 + TILE + radius)
+        jt_lo = jnp.maximum(j_lo // TILE, 0)
+        jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
+
+        def per_candidate_tile(jt, acc):
+            j0 = jt * TILE
+            f_j = f_ref[:, pl.ds(j0, TILE)]
+            d = dmat + (i0 - j0).astype(F32)
+            quad = w2 * (d * d)
+            cost = f_j[:, None, :] + quad[None, :, :]
+            return jnp.minimum(acc, jnp.min(cost, axis=-1))
+
+        acc0 = jnp.full(f_i.shape, _INF, F32)
+        acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
+        out_ref[:, pl.ds(i0, TILE)] = acc
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def minplus_binary_windowed(f, w2, interpret=False, block_rows=BLOCK_ROWS):
+    """Unmasked min-plus along axis -1 with Monge argmin windows (two phases)."""
+    R, n = f.shape
+    n_tiles = max(1, -(-n // TILE))
+    n_points = n_tiles + 1
+    if n_points > TILE:
+        raise ValueError(f"axis too long for windowed kernel: {n}")
+    Rp = -(-R // block_rows) * block_rows
+    np_ = n_tiles * TILE
+
+    fp = _pad_to(f.astype(F32), Rp, np_, _INF)
+    w2v = jnp.asarray(w2, F32).reshape(1)
+
+    row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    # Phase A: boundary argmins. Lane-pad the point axis to a full tile.
+    p_pad = TILE
+    wins = pl.pallas_call(
+        functools.partial(_argmin_boundary_kernel, n_tiles=n_tiles,
+                          n_points=n_points, p_pad=p_pad),
+        grid=(Rp // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), row_spec],
+        out_specs=pl.BlockSpec((block_rows, p_pad), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, p_pad), I32),
+        interpret=interpret,
+    )(w2v, fp)
+
+    # Phase B: windowed evaluation.
+    out = pl.pallas_call(
+        functools.partial(_minplus_windowed_kernel, n_tiles=n_tiles),
+        grid=(Rp // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec,
+            pl.BlockSpec((block_rows, p_pad), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        interpret=interpret,
+    )(w2v, fp, wins)
+    return out[:R, :n]
+
+
+# ---------------------------------------------------------------------------
 # Fused parabolic pass: segment bounds, min-plus, border walls and
 # background zeroing all inside one kernel. Replaces the jnp cummax/cummin
 # segment machinery + elementwise envelope chain of ops.core (worth ~20% of
@@ -355,11 +500,19 @@ def make_parabolic_fn(interpret=False, block_rows=BLOCK_ROWS):
     return fn
 
 
-def make_minplus_fn(interpret=False):
+def make_minplus_fn(interpret=False, windowed_binary=False):
     """Adapter with the (f2d, seg_start2d, seg_end2d, w2, masked) signature
-    used by ops.core.parabolic_pass_sq."""
+    used by ops.core.parabolic_pass_sq.
+
+    windowed_binary=True routes the unmasked case through the
+    Monge-windowed two-phase kernel. Measured on v5e the sqrt(f)-radius
+    pruning of the plain kernel already bounds the candidate range just as
+    tightly on realistic fields, so the extra phase is off by default.
+    """
 
     def fn(f2d, seg_start, seg_end, w2, masked=True):
+        if not masked and windowed_binary and f2d.shape[-1] <= (TILE - 1) * TILE:
+            return minplus_binary_windowed(f2d, w2, interpret=interpret)
         return minplus_pallas(f2d, seg_start, seg_end, w2, masked=masked,
                               interpret=interpret)
 

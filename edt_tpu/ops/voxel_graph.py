@@ -30,9 +30,11 @@ from edt_tpu.ops import compose
 
 @functools.partial(jax.jit, static_argnames=("black_border", "use_pallas"))
 def _edtsq_device(labels, anisotropy, black_border, use_pallas=False):
+    # the doubled volume is binary by construction -> binary fast path
     return compose.edtsq(
         labels, anisotropy, black_border,
         minplus_fn=compose.default_minplus_fn(use_pallas),
+        binary=True,
     )
 
 
@@ -109,6 +111,25 @@ def doubled_3d_jnp(fg, g, black_border, zero_tail=(True, True, True)):
         if zero_tail[0]:
             D = D.at[-1, :, :].set(0)
     return D
+
+
+def edtsq_voxel_graph_jnp(labels, graph, anisotropy, black_border=False,
+                          minplus_fn=None):
+    """Device-native (jittable) 3-D voxel-graph squared EDT.
+
+    "x" (bit 0b1) is the last array axis (C-order convention). For the
+    NumPy-facing order-aware variant use edtsq_voxel_graph below; for the
+    multi-chip version see edt_tpu.parallel.edtsq_voxel_graph_sharded.
+    """
+    nd = labels.ndim
+    if nd != 3:
+        raise ValueError("edtsq_voxel_graph_jnp is 3-D; use the NumPy API for 2-D")
+    anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
+    fg = (labels != 0).astype(jnp.uint8)
+    D = doubled_3d_jnp(fg, graph.astype(jnp.uint8), black_border)
+    d2 = compose.edtsq(D, anisotropy / 2.0, black_border,
+                       minplus_fn=minplus_fn, binary=True)
+    return d2[::2, ::2, ::2]
 
 
 def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):

@@ -80,18 +80,29 @@ def _use_native(flat, *more):
 
 
 def _runs_numpy(flat):
-    out = {}
     n = flat.size
     if n == 0:
-        return out
+        return {}
     change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [n]])
     keys = flat[starts]
-    for k, s, e in zip(keys.tolist(), starts.tolist(), ends.tolist()):
-        out.setdefault(k, []).append((s, e))
-    # reference returns a std::map -> keys ascend (edt_voxel_graph.hpp:239)
-    return dict(sorted(out.items()))
+    return _group_runs(keys, starts, ends)
+
+
+def _group_runs(keys, starts, ends):
+    """Group (start, end) pairs by key, keys ascending (like the reference's
+    std::map, edt_voxel_graph.hpp:239), preserving in-key order."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    ss = starts[order].tolist()
+    es = ends[order].tolist()
+    bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    group_starts = np.concatenate([[0], bounds]).tolist()
+    group_ends = np.concatenate([bounds, [ks.size]]).tolist()
+    uniq = ks[np.concatenate([[0], bounds])].tolist()
+    pairs = list(zip(ss, es))
+    return {k: pairs[a:b] for k, a, b in zip(uniq, group_starts, group_ends)}
 
 
 def _check_runs(rns, voxels):
