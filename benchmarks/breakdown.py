@@ -1,0 +1,119 @@
+"""Per-component timing breakdown of the 512^3 transform on real hardware.
+
+Times each stage in isolation with the chained-execution methodology
+(see bench.py) to locate the bottleneck:
+  - pass 1 (RP closed form, jnp)
+  - segment_bounds (cummax/cummin, jnp)
+  - one transpose (moveaxis round trip)
+  - min-plus Pallas kernel alone (masked / binary)
+  - fused parabolic kernel (masked / binary), block_rows sweep
+  - full edtsq: minplus path vs fused-kernel path
+
+Usage: python benchmarks/breakdown.py [--size 512] [--iters 4]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(label, fn, x, iters):
+    @jax.jit
+    def chained(x):
+        def body(i, acc):
+            y = fn(x.at[(0,) * x.ndim].set(i % 2), i)
+            return acc + y.reshape(-1)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(chained(x))
+    t0 = time.perf_counter()
+    float(chained(x))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label:58s} {dt*1e3:9.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--section", default="all",
+                    choices=["all", "stages", "kernels", "full", "binary"])
+    args = ap.parse_args()
+    S, K = args.size, args.iters
+    sec = args.section
+
+    from edt_tpu.ops import compose, core, pallas_kernels as pk
+
+    rng = np.random.default_rng(42)
+    blk = max(1, S // 16)
+    base = rng.integers(0, 6, size=(S // blk,) * 3)
+    labels_np = np.kron(base, np.ones((blk,) * 3, dtype=np.uint8)).astype(np.uint32)
+    lab = jnp.asarray(labels_np)
+    anis = jnp.asarray((6.0, 6.0, 30.0), jnp.float32)
+    w2 = jnp.float32(36.0)
+
+    f0 = jax.jit(lambda l: core.rp_pass_sq(l, jnp.float32(30.0), False))(lab)
+    f2d = f0.reshape(-1, S)
+    lab2d = lab.reshape(-1, S).astype(jnp.int32)
+
+    print(f"--- breakdown at {S}^3, {K} chained iters ---", flush=True)
+    mp = pk.make_minplus_fn()
+    if sec in ("all", "stages"):
+        timed("pass1 RP (jnp closed form)",
+              lambda x, i: core.rp_pass_sq(x, jnp.float32(30.0), False), lab, K)
+        timed("segment_bounds (jnp cummax/cummin)",
+              lambda x, i: core.segment_bounds(x)[0], lab, K)
+        timed("transpose f (moveaxis 0->-1 + back)",
+              lambda x, i: jnp.moveaxis(jnp.moveaxis(x, 0, -1) + 1.0, -1, 0),
+              f0, K)
+
+    if sec in ("all", "kernels"):
+        # everything derived from the single jit argument (closing over big
+        # device arrays embeds them as constants -> the remote-compile
+        # tunnel rejects the oversized program). x[0] = f, x[1] = labels.
+        stacked = jnp.stack([f2d, lab2d.astype(jnp.float32)])
+        for lr in (False, True):
+            for br in (8, 16, 32):
+                def mp_step(x, i, br=br, lr=lr):
+                    lab_i = x[1].astype(jnp.int32)
+                    ss, se = core.segment_bounds(lab_i)
+                    return pk.minplus_pallas(x[0], ss, se, w2, masked=True,
+                                             block_rows=br, lane_reduce=lr)
+                timed(f"segbounds + minplus (block_rows={br}, "
+                      f"lane_reduce={lr})", mp_step, stacked, K)
+
+    if sec in ("all", "full"):
+        for lr in (False, True):
+            for br in (8, 16, 32):
+                mpv = pk.make_minplus_fn(block_rows=br, lane_reduce=lr)
+                timed(f"FULL edtsq (minplus, block_rows={br}, "
+                      f"lane_reduce={lr})",
+                      lambda x, i, mpv=mpv: compose.edtsq(
+                          x, anis, False, minplus_fn=mpv), lab, K)
+
+    if sec in ("all", "binary"):
+        # binary all-ones cube with black border (reference headline config)
+        ones = jnp.ones((S, S, S), jnp.uint8)
+        timed("FULL binary edtsq all-ones bb (minplus path)",
+              lambda x, i: compose.edtsq(x, jnp.ones(3, jnp.float32), True,
+                                         minplus_fn=mp, binary=True), ones, K)
+        for br in (8, 32):
+            pf = pk.make_parabolic_fn(block_rows=br)
+            timed(f"FULL binary edtsq all-ones bb (fused, block_rows={br})",
+                  lambda x, i, pf=pf: compose.edtsq(
+                      x, jnp.ones(3, jnp.float32), True, parabolic_fn=pf,
+                      binary=True), ones, K)
+
+
+if __name__ == "__main__":
+    main()

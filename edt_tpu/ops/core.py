@@ -99,32 +99,39 @@ def rp_pass_sq(labels: jax.Array, w: jax.Array, black_border: bool) -> jax.Array
     return d * d
 
 
-def _minplus_chunk(f: jax.Array, seg: jax.Array, w2: jax.Array) -> jax.Array:
-    """Brute-force segment-masked min-plus over a (rows, n) chunk.
+def _minplus_chunk(f: jax.Array, seg, w2: jax.Array) -> jax.Array:
+    """Brute-force min-plus over a (rows, n) chunk.
 
-    d[r, i] = min_j { f[r, j] + w2 * (i - j)^2  :  seg[r, j] == seg[r, i] }
+    d[r, i] = min_j { f[r, j] + w2 * (i - j)^2 }, restricted to
+    seg[r, j] == seg[r, i] when ``seg`` is given. Passing seg=None is the
+    multi-label fast path: foreign-segment candidates can never beat the
+    wall parabolas that border_envelopes_sq min's in afterward (a foreign j
+    has |i - j| >= i's distance to its segment edge + 1 and f[j] >= 0), so
+    the mask is redundant in the full parabolic pass.
     """
     n = f.shape[-1]
     i = jnp.arange(n, dtype=F32)
     diff = i[:, None] - i[None, :]
     quad = w2 * (diff * diff)  # (n_i, n_j)
     cost = f[..., None, :] + quad  # (rows, n_i, n_j)
-    same = seg[..., None, :] == seg[..., :, None]  # [r, i, j] compares seg(j), seg(i)
-    cost = jnp.where(same, cost, INF)
+    if seg is not None:
+        same = seg[..., None, :] == seg[..., :, None]  # [r,i,j]: seg(j)==seg(i)
+        cost = jnp.where(same, cost, INF)
     return jnp.min(cost, axis=-1)
 
 
 def minplus_masked(
     f: jax.Array,
-    seg: jax.Array,
+    seg,
     w2: jax.Array,
     row_chunk: int = 256,
 ) -> jax.Array:
-    """Segment-masked min-plus transform along axis -1, chunked over rows.
+    """Min-plus transform along axis -1, chunked over rows.
 
-    ``f``/``seg`` are (R, n). Rows are processed ``row_chunk`` at a time via
-    lax.map so the fused (rows, n, n) broadcast+reduce never exceeds a bounded
-    footprint.
+    ``f`` is (R, n); ``seg`` is (R, n) for the segment-masked form or None
+    for the unmasked form (see _minplus_chunk). Rows are processed
+    ``row_chunk`` at a time via lax.map so the fused (rows, n, n)
+    broadcast+reduce never exceeds a bounded footprint.
     """
     R, n = f.shape
     if R <= row_chunk:
@@ -132,11 +139,15 @@ def minplus_masked(
     pad = (-R) % row_chunk
     if pad:
         f = jnp.concatenate([f, jnp.zeros((pad, n), f.dtype)], axis=0)
-        seg = jnp.concatenate([seg, jnp.zeros((pad, n), seg.dtype)], axis=0)
+        if seg is not None:
+            seg = jnp.concatenate([seg, jnp.zeros((pad, n), seg.dtype)], axis=0)
     m = f.shape[0] // row_chunk
     fc = f.reshape(m, row_chunk, n)
-    sc = seg.reshape(m, row_chunk, n)
-    out = lax.map(lambda t: _minplus_chunk(t[0], t[1], w2), (fc, sc))
+    if seg is None:
+        out = lax.map(lambda t: _minplus_chunk(t, None, w2), fc)
+    else:
+        sc = seg.reshape(m, row_chunk, n)
+        out = lax.map(lambda t: _minplus_chunk(t[0], t[1], w2), (fc, sc))
     out = out.reshape(m * row_chunk, n)
     return out[:R] if pad else out
 
@@ -223,11 +234,14 @@ def parabolic_pass_sq(
         return d
 
     start, end = segment_bounds(labels)
-    seg2 = start.reshape(-1, n)
     if minplus_fn is None:
-        d = minplus_masked(f2, seg2, w2, row_chunk=row_chunk)
+        # unmasked: the wall envelopes below subsume foreign-segment
+        # candidates exactly (see _minplus_chunk docstring)
+        d = minplus_masked(f2, None, w2, row_chunk=row_chunk)
     else:
-        d = minplus_fn(f2, seg2, end.reshape(-1, n), w2, masked=True)
+        # masked=True only engages segment-extent pruning in the kernel
+        d = minplus_fn(f2, start.reshape(-1, n), end.reshape(-1, n), w2,
+                       masked=True)
     d = d.reshape(shape)
 
     d = border_envelopes_sq(d, start, end, n, w2, black_border)

@@ -38,31 +38,53 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 BLOCK_ROWS = 8
+# the min-plus kernel prefers taller row blocks (amortizes per-tile scalar
+# work and the (TILE, TILE) quad construction); measured optimum on v5e
+MP_BLOCK_ROWS = 32
 TILE = 128
 _INF = float("inf")
 
 
 def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked,
-                    block_rows=BLOCK_ROWS):
+                    block_rows=MP_BLOCK_ROWS, lane_reduce=False,
+                    j_subtile=0):
+    """Unmasked min-plus; ``masked=True`` only adds segment-extent pruning.
+
+    Foreign-segment candidates need no cost mask: a j outside target i's
+    segment has |i - j| >= (i's distance to its segment edge) + 1, so with
+    f[j] >= 0 its cost always >= the wall parabola the caller min's in
+    afterward (core.border_envelopes_sq) — the result is bit-identical to
+    the reference's per-segment restarts (edt.hpp:344-377) at half the
+    inner-loop VPU ops.
+
+    lane_reduce selects the tile-pair layout: False (default) evaluates
+    cost as (rows, j, i) with targets i on the 128 lanes so the min over
+    candidates j is an elementwise reduction down the sublane axis — no
+    cross-lane shuffles; True uses the (rows, i, j) layout with a
+    minor-most (lane) reduction.
+    """
     w2 = w2_ref[0]
     n = n_tiles * TILE
 
-    # (TILE, TILE) matrix of (i - j) offsets within a tile pair.
+    # (TILE, TILE) offset matrix for a tile pair.
     # (iota must be integer-typed on TPU; subtract in i32 then convert.)
     ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
     jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
-    dmat = (ii - jj).astype(F32)
+    if lane_reduce:
+        dmat = (ii - jj).astype(F32)      # [i, j] = i - j
+    else:
+        dmat = (jj - ii).astype(F32)      # [j, i] = i - j
 
     def per_target_tile(it, _):
         i0 = it * TILE
         f_i = f_ref[:, pl.ds(i0, TILE)]
-        ss_i = ss_ref[:, pl.ds(i0, TILE)]
 
         # --- pruning bounds (scalars) ---
         fmax = jnp.max(f_i)
         radius_f = jnp.sqrt(fmax / w2)
         radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
         if masked:
+            ss_i = ss_ref[:, pl.ds(i0, TILE)]
             se_i = se_ref[:, pl.ds(i0, TILE)]
             seg_lo = jnp.min(ss_i)
             seg_hi = jnp.max(se_i)
@@ -77,16 +99,25 @@ def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked,
         def per_candidate_tile(jt, acc):
             j0 = jt * TILE
             f_j = f_ref[:, pl.ds(j0, TILE)]
-            # cost[r, i, j] = f[r, j0+j] + w2 * ((i0+i) - (j0+j))^2
             shift = (i0 - j0).astype(F32)
             d = dmat + shift
             quad = w2 * (d * d)  # (TILE, TILE)
-            cost = f_j[:, None, :] + quad[None, :, :]
-            if masked:
-                ss_j = ss_ref[:, pl.ds(j0, TILE)]
-                same = ss_i[:, :, None] == ss_j[:, None, :]
-                cost = jnp.where(same, cost, _INF)
-            return jnp.minimum(acc, jnp.min(cost, axis=-1))
+            if lane_reduce:
+                # cost[r, i, j]; min over lanes j
+                cost = f_j[:, None, :] + quad[None, :, :]
+                return jnp.minimum(acc, jnp.min(cost, axis=-1))
+            if j_subtile:
+                # running min over sublane-sized j chunks: temporaries stay
+                # (block_rows, j_subtile, TILE) instead of a full
+                # (block_rows, TILE, TILE) buffer round-tripping VMEM
+                for js in range(0, TILE, j_subtile):
+                    cost = (f_j[:, js:js + j_subtile, None]
+                            + quad[None, js:js + j_subtile, :])
+                    acc = jnp.minimum(acc, jnp.min(cost, axis=1))
+                return acc
+            # cost[r, j, i]; min over sublane-axis j (elementwise mins)
+            cost = f_j[:, :, None] + quad[None, :, :]
+            return jnp.minimum(acc, jnp.min(cost, axis=1))
 
         acc0 = jnp.full((block_rows, TILE), _INF, F32)
         acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
@@ -105,15 +136,18 @@ def _pad_to(x, rows, cols, value):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("masked", "interpret", "block_rows")
+    jax.jit, static_argnames=("masked", "interpret", "block_rows",
+                              "lane_reduce", "j_subtile")
 )
 def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
-                   block_rows=BLOCK_ROWS):
-    """Segment-masked min-plus over rows; f (R, n) f32 -> (R, n) f32.
+                   block_rows=MP_BLOCK_ROWS, lane_reduce=False, j_subtile=0):
+    """Min-plus over rows; f (R, n) f32 -> (R, n) f32.
 
-    seg_start/seg_end: int32 per-voxel segment bounds along the row
-    (seg_start doubles as the segment id). With masked=False the whole row
-    is one segment (binary fast path) and seg arrays are ignored.
+    seg_start/seg_end: int32 per-voxel segment bounds along the row, used
+    with masked=True to prune the candidate range (NOT to mask costs — see
+    _minplus_kernel: callers must min in the wall parabolas afterward,
+    which makes per-cost masking redundant). With masked=False the whole
+    row is one segment (binary fast path) and seg arrays are ignored.
     """
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
@@ -126,7 +160,8 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     w2v = jnp.asarray(w2, F32).reshape(1)
 
     kernel = functools.partial(_minplus_kernel, n_tiles=n_tiles, masked=masked,
-                               block_rows=block_rows)
+                               block_rows=block_rows, lane_reduce=lane_reduce,
+                               j_subtile=j_subtile)
     grid = (Rp // block_rows,)
     out = pl.pallas_call(
         kernel,
@@ -371,6 +406,16 @@ def _fused_parabolic_kernel(
         lax.fori_loop(0, n_tiles, bwd, (zero_col, full_i))
 
     # ---- phase 3: min-plus + walls + zeroing ----
+    #
+    # NOTE the cost terms carry NO per-(i, j) segment mask even in the
+    # multi-label case. A candidate j outside target i's segment satisfies
+    # |i - j| >= (distance from i to its segment edge) + 1, so with
+    # f[j] >= 0 its cost f[j] + w^2 (i-j)^2 is always >= the wall parabola
+    # w^2 (i - seg_start + 1)^2 (resp. right wall) that is min'd in below —
+    # foreign candidates can never win, and the unmasked evaluation is
+    # bit-identical to the reference's per-segment restarts
+    # (edt.hpp:344-377) at half the inner-loop VPU ops. Segment bounds are
+    # still used to PRUNE the candidate range and to form the walls.
     ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
     jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
     dmat = (ii - jj).astype(F32)
@@ -400,10 +445,6 @@ def _fused_parabolic_kernel(
             d = dmat + (i0 - j0).astype(F32)
             quad = w2 * (d * d)
             cost = f_j[:, None, :] + quad[None, :, :]
-            if masked:
-                ss_j = ss_ref[:, pl.ds(j0, TILE)]
-                same = ss_i[:, :, None] == ss_j[:, None, :]
-                cost = jnp.where(same, cost, _INF)
             return jnp.minimum(acc, jnp.min(cost, axis=-1))
 
         acc0 = jnp.full(f_i.shape, _INF, F32)
@@ -500,7 +541,8 @@ def make_parabolic_fn(interpret=False, block_rows=BLOCK_ROWS):
     return fn
 
 
-def make_minplus_fn(interpret=False, windowed_binary=False):
+def make_minplus_fn(interpret=False, windowed_binary=False,
+                    block_rows=MP_BLOCK_ROWS, lane_reduce=False):
     """Adapter with the (f2d, seg_start2d, seg_end2d, w2, masked) signature
     used by ops.core.parabolic_pass_sq.
 
@@ -514,6 +556,7 @@ def make_minplus_fn(interpret=False, windowed_binary=False):
         if not masked and windowed_binary and f2d.shape[-1] <= (TILE - 1) * TILE:
             return minplus_binary_windowed(f2d, w2, interpret=interpret)
         return minplus_pallas(f2d, seg_start, seg_end, w2, masked=masked,
-                              interpret=interpret)
+                              interpret=interpret, block_rows=block_rows,
+                              lane_reduce=lane_reduce)
 
     return fn

@@ -51,16 +51,40 @@ def test_fused_binary_matches_core(black_border):
 
 
 def test_minplus_tiled_matches_core():
+    """Full parabolic pass with the Pallas min-plus == pure-jnp pass."""
     f, lab = _random_case(R=11, n=300, seed=2)
-    start, end = core.segment_bounds(lab)
-    w2 = jnp.float32(1.44)
-    ref = np.array(core.minplus_masked(f, start, w2))
-    out = np.array(
-        pk.minplus_pallas(f, start, end, w2, masked=True, interpret=True)
-    )
-    fin = np.isfinite(ref)
-    assert np.array_equal(np.isfinite(out), fin)
-    assert np.array_equal(out[fin], ref[fin])
+    w = jnp.float32(1.2)
+
+    def mp(f2, ss, se, w2, masked=True):
+        return pk.minplus_pallas(f2, ss, se, w2, masked=masked, interpret=True)
+
+    for bb in (False, True):
+        ref = np.array(core.parabolic_pass_sq(f, lab, w, bb))
+        out = np.array(core.parabolic_pass_sq(f, lab, w, bb, minplus_fn=mp))
+        fin = np.isfinite(ref)
+        assert np.array_equal(np.isfinite(out), fin)
+        assert np.array_equal(out[fin], ref[fin])
+
+
+def test_unmasked_plus_walls_equals_masked():
+    """The mask-redundancy lemma: foreign-segment candidates never beat the
+    wall parabolas, so unmasked min-plus + walls == masked min-plus + walls
+    bit-for-bit (this is what lets the kernels drop per-(i,j) masking)."""
+    for seed in range(4):
+        f, lab = _random_case(R=9, n=257, nl=4, seed=seed)
+        w2 = jnp.float32(1.69)
+        start, end = core.segment_bounds(lab)
+        n = f.shape[-1]
+        for bb in (False, True):
+            masked = core.border_envelopes_sq(
+                core.minplus_masked(f, start, w2), start, end, n, w2, bb)
+            unmasked = core.border_envelopes_sq(
+                core.minplus_masked(f, None, w2), start, end, n, w2, bb)
+            masked = np.array(jnp.where(lab == 0, 0.0, masked))
+            unmasked = np.array(jnp.where(lab == 0, 0.0, unmasked))
+            fin = np.isfinite(masked)
+            assert np.array_equal(np.isfinite(unmasked), fin)
+            assert np.array_equal(unmasked[fin], masked[fin])
 
 
 def test_windowed_binary_matches_core():
