@@ -43,13 +43,15 @@ def main():
 
     anis = jnp.asarray((6.0, 6.0, 30.0), jnp.float32)
     lab = jnp.asarray(labels)
-    mp = compose.default_minplus_fn(_use_pallas())
+    pallas = _use_pallas()
+    mp = compose.default_minplus_fn(pallas)
+    pf = compose.default_parabolic_fn(pallas)
 
     @jax.jit
     def chained(lab, anis):
         def body(i, acc):
             l = lab.at[0, 0, i].set(0)  # perturb so iterations cannot collapse
-            d = compose.edtsq(l, anis, False, minplus_fn=mp)
+            d = compose.edtsq(l, anis, False, minplus_fn=mp, parabolic_fn=pf)
             return acc + d[1, 1, 1] + d[SIZE // 2, SIZE // 2, SIZE // 2]
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))

@@ -109,27 +109,32 @@ def edtsq(
     return f
 
 
-def edt(labels, anisotropy, black_border=False, minplus_fn=None):
+def edt(labels, anisotropy, black_border=False, minplus_fn=None,
+        parabolic_fn=None):
     """Euclidean distance (sqrt of edtsq)."""
-    return jnp.sqrt(edtsq(labels, anisotropy, black_border, minplus_fn=minplus_fn))
+    return jnp.sqrt(edtsq(labels, anisotropy, black_border,
+                          minplus_fn=minplus_fn, parabolic_fn=parabolic_fn))
 
 
-def sdfsq(labels, anisotropy, black_border=False, minplus_fn=None):
+def sdfsq(labels, anisotropy, black_border=False, minplus_fn=None,
+          parabolic_fn=None):
     """Squared signed distance field: edtsq(x) - edtsq(x == 0).
 
     Mirrors reference edt.pyx:160-202.
     """
-    fg = edtsq(labels, anisotropy, black_border, minplus_fn=minplus_fn)
-    bg = edtsq(
-        (labels == 0).astype(jnp.uint8), anisotropy, black_border, minplus_fn=minplus_fn
-    )
+    fg = edtsq(labels, anisotropy, black_border, minplus_fn=minplus_fn,
+               parabolic_fn=parabolic_fn)
+    bg = edtsq((labels == 0).astype(jnp.uint8), anisotropy, black_border,
+               minplus_fn=minplus_fn, binary=True, parabolic_fn=parabolic_fn)
     return fg - bg
 
 
-def sdf(labels, anisotropy, black_border=False, minplus_fn=None):
+def sdf(labels, anisotropy, black_border=False, minplus_fn=None,
+        parabolic_fn=None):
     """Signed distance field: edt(x) - edt(x == 0) (reference edt.pyx:120-158)."""
-    fg = edt(labels, anisotropy, black_border, minplus_fn=minplus_fn)
-    bg = edt(
-        (labels == 0).astype(jnp.uint8), anisotropy, black_border, minplus_fn=minplus_fn
-    )
+    fg = edt(labels, anisotropy, black_border, minplus_fn=minplus_fn,
+             parabolic_fn=parabolic_fn)
+    bg = jnp.sqrt(edtsq((labels == 0).astype(jnp.uint8), anisotropy,
+                        black_border, minplus_fn=minplus_fn, binary=True,
+                        parabolic_fn=parabolic_fn))
     return fg - bg

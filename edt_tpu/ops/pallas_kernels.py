@@ -45,17 +45,25 @@ TILE = 128
 _INF = float("inf")
 
 
-def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked,
-                    block_rows=MP_BLOCK_ROWS, lane_reduce=False,
-                    j_subtile=0):
+def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
+                    n_tiles, masked, block_rows=MP_BLOCK_ROWS,
+                    lane_reduce=False, j_subtile=0, walls=False,
+                    black_border=False):
     """Unmasked min-plus; ``masked=True`` only adds segment-extent pruning.
 
     Foreign-segment candidates need no cost mask: a j outside target i's
     segment has |i - j| >= (i's distance to its segment edge) + 1, so with
-    f[j] >= 0 its cost always >= the wall parabola the caller min's in
-    afterward (core.border_envelopes_sq) — the result is bit-identical to
-    the reference's per-segment restarts (edt.hpp:344-377) at half the
-    inner-loop VPU ops.
+    f[j] >= 0 its cost always >= the wall parabola (applied in-kernel with
+    walls=True, else by core.border_envelopes_sq) — the result is
+    bit-identical to the reference's per-segment restarts (edt.hpp:344-377)
+    at half the inner-loop VPU ops. Background voxels need no explicit
+    zeroing either: they carry f == 0, so candidate j == i already pins
+    them to 0.
+
+    walls=True fuses the epilogue: masked -> per-segment wall parabolas
+    w^2 (i - ss + 1)^2 / w^2 (se - i)^2 gated by black_border at open row
+    ends (reference edt.hpp:231-243, 359-375); unmasked (binary) ->
+    whole-row border parabolas when black_border.
 
     lane_reduce selects the tile-pair layout: False (default) evaluates
     cost as (rows, j, i) with targets i on the 128 lanes so the min over
@@ -63,8 +71,13 @@ def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked,
     cross-lane shuffles; True uses the (rows, i, j) layout with a
     minor-most (lane) reduction.
     """
+    # unmasked: ss/se are not kernel inputs at all (no wasted DMA)
+    if ss_ref is None:
+        ss_ref = se_ref = f_ref  # unused placeholders
     w2 = w2_ref[0]
+    n_real = nreal_ref[0]
     n = n_tiles * TILE
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
     # (TILE, TILE) offset matrix for a tile pair.
     # (iota must be integer-typed on TPU; subtract in i32 then convert.)
@@ -121,6 +134,23 @@ def _minplus_kernel(w2_ref, f_ref, ss_ref, se_ref, out_ref, *, n_tiles, masked,
 
         acc0 = jnp.full((block_rows, TILE), _INF, F32)
         acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
+
+        if walls:
+            gi = lanes + i0
+            if masked:
+                li = (gi - ss_i + 1).astype(F32)
+                ri = (se_i - gi).astype(F32)
+                lwall = w2 * (li * li)
+                rwall = w2 * (ri * ri)
+                if not black_border:
+                    lwall = jnp.where(ss_i > 0, lwall, _INF)
+                    rwall = jnp.where(se_i < n_real, rwall, _INF)
+                acc = jnp.minimum(acc, jnp.minimum(lwall, rwall))
+            elif black_border:
+                li = (gi + 1).astype(F32)
+                ri = (n_real - gi).astype(F32)
+                acc = jnp.minimum(acc, w2 * jnp.minimum(li * li, ri * ri))
+
         out_ref[:, pl.ds(i0, TILE)] = acc
         return 0
 
@@ -137,17 +167,20 @@ def _pad_to(x, rows, cols, value):
 
 @functools.partial(
     jax.jit, static_argnames=("masked", "interpret", "block_rows",
-                              "lane_reduce", "j_subtile")
+                              "lane_reduce", "j_subtile", "walls",
+                              "black_border")
 )
 def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
-                   block_rows=MP_BLOCK_ROWS, lane_reduce=False, j_subtile=0):
+                   block_rows=MP_BLOCK_ROWS, lane_reduce=False, j_subtile=0,
+                   walls=False, black_border=False):
     """Min-plus over rows; f (R, n) f32 -> (R, n) f32.
 
     seg_start/seg_end: int32 per-voxel segment bounds along the row, used
     with masked=True to prune the candidate range (NOT to mask costs — see
-    _minplus_kernel: callers must min in the wall parabolas afterward,
-    which makes per-cost masking redundant). With masked=False the whole
-    row is one segment (binary fast path) and seg arrays are ignored.
+    _minplus_kernel: callers must min in the wall parabolas afterward or
+    pass walls=True to fuse them here, which makes per-cost masking
+    redundant). With masked=False the whole row is one segment (binary fast
+    path) and seg arrays are ignored.
     """
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
@@ -155,31 +188,37 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     np_ = n_tiles * TILE
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF)
-    ssp = _pad_to(seg_start.astype(I32), Rp, np_, -1)
-    sep = _pad_to(seg_end.astype(I32), Rp, np_, 0)
     w2v = jnp.asarray(w2, F32).reshape(1)
+    nrv = jnp.asarray(n, I32).reshape(1)
 
-    kernel = functools.partial(_minplus_kernel, n_tiles=n_tiles, masked=masked,
-                               block_rows=block_rows, lane_reduce=lane_reduce,
-                               j_subtile=j_subtile)
+    kw = dict(n_tiles=n_tiles, masked=masked, block_rows=block_rows,
+              lane_reduce=lane_reduce, j_subtile=j_subtile, walls=walls,
+              black_border=black_border)
     grid = (Rp // block_rows,)
+    row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if masked:
+        kernel = functools.partial(_minplus_kernel, **kw)
+        ssp = _pad_to(seg_start.astype(I32), Rp, np_, -1)
+        sep = _pad_to(seg_end.astype(I32), Rp, np_, 0)
+        in_specs = [scalar_spec, scalar_spec, row_spec, row_spec, row_spec]
+        args = (w2v, nrv, fp, ssp, sep)
+    else:
+        def kernel(w2_ref, nreal_ref, f_ref, out_ref):
+            _minplus_kernel(w2_ref, nreal_ref, f_ref, None, None, out_ref,
+                            **kw)
+
+        in_specs = [scalar_spec, scalar_spec, row_spec]
+        args = (w2v, nrv, fp)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # w2 scalar
-            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
         interpret=interpret,
-    )(w2v, fp, ssp, sep)
+    )(*args)
     return out[:R, :n]
 
 
@@ -328,214 +367,31 @@ def minplus_binary_windowed(f, w2, interpret=False, block_rows=BLOCK_ROWS):
     return out[:R, :n]
 
 
-# ---------------------------------------------------------------------------
-# Fused parabolic pass: segment bounds, min-plus, border walls and
-# background zeroing all inside one kernel. Replaces the jnp cummax/cummin
-# segment machinery + elementwise envelope chain of ops.core (worth ~20% of
-# the 512^3 transform) and halves the kernel's HBM inputs (f + labels
-# instead of f + seg_start + seg_end).
-# ---------------------------------------------------------------------------
-
-
-def _lane_iota(block_rows):
-    return lax.broadcasted_iota(I32, (1, TILE), 1)
-
-
-def _prefix_max_lanes(v, carry):
-    """Inclusive prefix max along lanes of (BR, TILE) with incoming carry."""
-    lanes = _lane_iota(v.shape[0])
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        shifted = pltpu.roll(v, k, axis=1)
-        v = jnp.where(lanes >= k, jnp.maximum(v, shifted), v)
-    v = jnp.maximum(v, carry)
-    return v, v[:, TILE - 1:TILE]
-
-
-def _suffix_min_lanes(v, carry):
-    """Inclusive suffix min along lanes of (BR, TILE) with incoming carry."""
-    lanes = _lane_iota(v.shape[0])
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        shifted = pltpu.roll(v, TILE - k, axis=1)  # == roll by -k
-        v = jnp.where(lanes < TILE - k, jnp.minimum(v, shifted), v)
-    v = jnp.minimum(v, carry)
-    return v, v[:, 0:1]
-
-
-def _fused_parabolic_kernel(
-    w2_ref, nreal_ref, f_ref, lab_ref, out_ref, ss_ref, se_ref,
-    *, n_tiles, masked, black_border,
-):
-    w2 = w2_ref[0]
-    n_real = nreal_ref[0]
-    n = n_tiles * TILE
-    lanes = _lane_iota(0)
-
-    if masked:
-        # ---- phase 1: seg_start (cummax of start positions) ----
-        def fwd(t, carry):
-            carry_lab, carry_start = carry
-            lab = lab_ref[:, pl.ds(t * TILE, TILE)]
-            prev = pltpu.roll(lab, 1, axis=1)
-            prev = jnp.where(lanes == 0, carry_lab, prev)
-            gidx = lanes + t * TILE
-            is_start = (lab != prev) | (gidx == 0)
-            val = jnp.where(is_start, gidx, 0)
-            ss, carry_start = _prefix_max_lanes(val, carry_start)
-            ss_ref[:, pl.ds(t * TILE, TILE)] = ss
-            return lab[:, TILE - 1:TILE], carry_start
-
-        zero_col = jnp.zeros(lab_ref.shape[:1] + (1,), lab_ref.dtype)
-        zero_i = jnp.zeros(lab_ref.shape[:1] + (1,), I32)
-        lax.fori_loop(0, n_tiles, fwd, (zero_col, zero_i))
-
-        # ---- phase 2: seg_end (reverse cummin of end positions) ----
-        def bwd(k, carry):
-            t = n_tiles - 1 - k
-            carry_lab, carry_end = carry
-            lab = lab_ref[:, pl.ds(t * TILE, TILE)]
-            nxt = pltpu.roll(lab, TILE - 1, axis=1)  # == roll by -1
-            nxt = jnp.where(lanes == TILE - 1, carry_lab, nxt)
-            gidx = lanes + t * TILE
-            is_end = (lab != nxt) | (gidx == n - 1)
-            val = jnp.where(is_end, gidx + 1, n)
-            se, carry_end = _suffix_min_lanes(val, carry_end)
-            se_ref[:, pl.ds(t * TILE, TILE)] = se
-            return lab[:, 0:1], carry_end
-
-        full_i = jnp.full(lab_ref.shape[:1] + (1,), n, I32)
-        lax.fori_loop(0, n_tiles, bwd, (zero_col, full_i))
-
-    # ---- phase 3: min-plus + walls + zeroing ----
-    #
-    # NOTE the cost terms carry NO per-(i, j) segment mask even in the
-    # multi-label case. A candidate j outside target i's segment satisfies
-    # |i - j| >= (distance from i to its segment edge) + 1, so with
-    # f[j] >= 0 its cost f[j] + w^2 (i-j)^2 is always >= the wall parabola
-    # w^2 (i - seg_start + 1)^2 (resp. right wall) that is min'd in below —
-    # foreign candidates can never win, and the unmasked evaluation is
-    # bit-identical to the reference's per-segment restarts
-    # (edt.hpp:344-377) at half the inner-loop VPU ops. Segment bounds are
-    # still used to PRUNE the candidate range and to form the walls.
-    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
-    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
-    dmat = (ii - jj).astype(F32)
-
-    def per_target_tile(it, _):
-        i0 = it * TILE
-        f_i = f_ref[:, pl.ds(i0, TILE)]
-        fmax = jnp.max(f_i)
-        radius_f = jnp.sqrt(fmax / w2)
-        radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
-        if masked:
-            ss_i = ss_ref[:, pl.ds(i0, TILE)]
-            se_i = se_ref[:, pl.ds(i0, TILE)]
-            seg_lo = jnp.min(ss_i)
-            seg_hi = jnp.max(se_i)
-        else:
-            seg_lo = jnp.int32(0)
-            seg_hi = n_real
-        j_lo = jnp.maximum(seg_lo, i0 - radius)
-        j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
-        jt_lo = jnp.maximum(j_lo // TILE, 0)
-        jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
-
-        def per_candidate_tile(jt, acc):
-            j0 = jt * TILE
-            f_j = f_ref[:, pl.ds(j0, TILE)]
-            d = dmat + (i0 - j0).astype(F32)
-            quad = w2 * (d * d)
-            cost = f_j[:, None, :] + quad[None, :, :]
-            return jnp.minimum(acc, jnp.min(cost, axis=-1))
-
-        acc0 = jnp.full(f_i.shape, _INF, F32)
-        acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
-
-        gi = (lanes + i0).astype(I32)
-        if masked:
-            li = (gi - ss_i + 1).astype(F32)
-            ri = (se_i - gi).astype(F32)
-            lwall = w2 * (li * li)
-            rwall = w2 * (ri * ri)
-            if not black_border:
-                lwall = jnp.where(ss_i > 0, lwall, _INF)
-                rwall = jnp.where(se_i < n_real, rwall, _INF)
-            acc = jnp.minimum(acc, jnp.minimum(lwall, rwall))
-            lab_i = lab_ref[:, pl.ds(i0, TILE)]
-            acc = jnp.where(lab_i == 0, jnp.float32(0.0), acc)
-        elif black_border:
-            li = (gi + 1).astype(F32)
-            ri = (n_real - gi).astype(F32)
-            acc = jnp.minimum(acc, w2 * jnp.minimum(li * li, ri * ri))
-        out_ref[:, pl.ds(i0, TILE)] = acc
-        return 0
-
-    lax.fori_loop(0, n_tiles, per_target_tile, 0)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("black_border", "masked", "interpret", "block_rows"),
-)
-def parabolic_fused_pallas(f, labels, w2, black_border, masked=True,
-                           interpret=False, block_rows=BLOCK_ROWS):
-    """Full multi-label parabolic pass along axis -1 in one kernel.
-
-    f: (R, n) f32 squared distances; labels: (R, n) int32/float32 (ignored
-    when masked=False). Implements the semantics of reference
-    squared_edt_1d_parabolic_multi_seg + border parabolas
-    (edt.hpp:231-243, 344-377) plus background zeroing.
-    """
-    R, n = f.shape
-    n_tiles = max(1, -(-n // TILE))
-    Rp = -(-R // block_rows) * block_rows
-    np_ = n_tiles * TILE
-
-    fp = _pad_to(f.astype(F32), Rp, np_, _INF)
-    lab_dtype = labels.dtype if masked else jnp.int32
-    if masked:
-        if not jnp.issubdtype(lab_dtype, jnp.floating):
-            labels = labels.astype(I32)
-        labp = _pad_to(labels, Rp, np_, 0)
-    else:
-        labp = fp  # unused by the kernel; reuse f to avoid a dead buffer
-    w2v = jnp.asarray(w2, F32).reshape(1)
-    nrv = jnp.asarray(n, I32).reshape(1)
-
-    kernel = functools.partial(
-        _fused_parabolic_kernel, n_tiles=n_tiles, masked=masked,
-        black_border=black_border,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(Rp // block_rows,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
-        scratch_shapes=[
-            pltpu.VMEM((block_rows, np_), I32),
-            pltpu.VMEM((block_rows, np_), I32),
-        ],
-        interpret=interpret,
-    )(w2v, nrv, fp, labp)
-    return out[:R, :n]
-
-
-def make_parabolic_fn(interpret=False, block_rows=BLOCK_ROWS):
+def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS):
     """Full-pass adapter used by ops.core/compose: signature
-    (f2d, labels2d, w2, black_border, binary) -> d2d."""
+    (f2d, labels2d, w2, black_border, binary) -> d2d.
+
+    Implements the complete reference parabolic pass
+    (squared_edt_1d_parabolic_multi_seg + border parabolas, edt.hpp:231-243,
+    344-377): segment bounds via XLA scans, then ONE Pallas kernel doing
+    the pruned unmasked min-plus with the wall parabolas fused in
+    (walls=True). Background zeroing is implicit (background carries
+    f == 0, which candidate j == i propagates)."""
 
     def fn(f2d, labels2d, w2, black_border, binary):
-        return parabolic_fused_pallas(
-            f2d, labels2d, w2, black_border, masked=not binary,
-            interpret=interpret, block_rows=block_rows,
+        if binary:
+            return minplus_pallas(
+                f2d, f2d, f2d, w2, masked=False, walls=True,
+                black_border=black_border, interpret=interpret,
+                block_rows=block_rows,
+            )
+        from edt_tpu.ops import core
+
+        ss, se = core.segment_bounds(labels2d)
+        return minplus_pallas(
+            f2d, ss, se, w2, masked=True, walls=True,
+            black_border=black_border, interpret=interpret,
+            block_rows=block_rows,
         )
 
     return fn

@@ -34,6 +34,7 @@ def _edtsq_device(labels, anisotropy, black_border, use_pallas=False):
     return compose.edtsq(
         labels, anisotropy, black_border,
         minplus_fn=compose.default_minplus_fn(use_pallas),
+        parabolic_fn=compose.default_parabolic_fn(use_pallas),
         binary=True,
     )
 

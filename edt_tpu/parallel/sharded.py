@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from edt_tpu.ops import core
 
 
-def _local_passes(labels, f, anisotropy, black_border, axes, minplus_fn=None):
+def _local_passes(labels, f, anisotropy, black_border, axes, minplus_fn=None,
+                  parabolic_fn=None):
     """Run parabolic passes along the given (local) axes."""
     for ax in axes:
         f = jnp.moveaxis(
@@ -40,6 +41,7 @@ def _local_passes(labels, f, anisotropy, black_border, axes, minplus_fn=None):
                 anisotropy[ax],
                 black_border,
                 minplus_fn=minplus_fn,
+                parabolic_fn=parabolic_fn,
             ),
             -1,
             ax,
@@ -55,6 +57,7 @@ def edtsq_sharded(
     mesh: Mesh,
     axis_name: str = "sp",
     minplus_fn=None,
+    parabolic_fn=None,
 ) -> jax.Array:
     """Squared multi-label EDT of a 3-D volume sharded along axis 0.
 
@@ -85,12 +88,14 @@ def edtsq_sharded(
             2,
         )
         # Pass 2 (axis 1, local).
-        f = _local_passes(lab, f, aniso, black_border, (1,), minplus_fn)
+        f = _local_passes(lab, f, aniso, black_border, (1,), minplus_fn,
+                          parabolic_fn)
         # Pass 3 (axis 0): rotate the sharded axis 0 -> 2 over ICI.
         f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0, tiled=True)
         lab_r = lax.all_to_all(lab, axis_name, split_axis=2, concat_axis=0,
                                tiled=True)
-        f = _local_passes(lab_r, f, aniso, black_border, (0,), minplus_fn)
+        f = _local_passes(lab_r, f, aniso, black_border, (0,), minplus_fn,
+                          parabolic_fn)
         # Rotate back.
         f = lax.all_to_all(f, axis_name, split_axis=0, concat_axis=2, tiled=True)
         return f
@@ -150,10 +155,11 @@ def edtsq_voxel_graph_sharded(
 
 
 def edt_sharded(labels, anisotropy, black_border=False, *, mesh,
-                axis_name="sp", minplus_fn=None):
+                axis_name="sp", minplus_fn=None, parabolic_fn=None):
     return jnp.sqrt(
         edtsq_sharded(labels, anisotropy, black_border, mesh=mesh,
-                      axis_name=axis_name, minplus_fn=minplus_fn)
+                      axis_name=axis_name, minplus_fn=minplus_fn,
+                      parabolic_fn=parabolic_fn)
     )
 
 

@@ -18,13 +18,13 @@ def _random_case(R=13, n=200, nl=3, seed=0):
 
 
 @pytest.mark.parametrize("black_border", [False, True])
-def test_fused_masked_matches_core(black_border):
+def test_walls_fused_masked_matches_core(black_border):
     f, lab = _random_case()
     w = jnp.float32(1.3)
+    pf = pk.make_parabolic_fn(interpret=True)
     ref = np.array(core.parabolic_pass_sq(f, lab, w, black_border))
     out = np.array(
-        pk.parabolic_fused_pallas(f, lab, w * w, black_border, masked=True,
-                                  interpret=True)
+        core.parabolic_pass_sq(f, lab, w, black_border, parabolic_fn=pf)
     )
     fin = np.isfinite(ref)
     assert np.array_equal(np.isfinite(out), fin)
@@ -32,7 +32,7 @@ def test_fused_masked_matches_core(black_border):
 
 
 @pytest.mark.parametrize("black_border", [False, True])
-def test_fused_binary_matches_core(black_border):
+def test_walls_fused_binary_matches_core(black_border):
     rng = np.random.default_rng(1)
     occ = rng.random((11, 180)) > 0.3
     f = (rng.random((11, 180)).astype(np.float32) * 25)
@@ -40,10 +40,11 @@ def test_fused_binary_matches_core(black_border):
     fj = jnp.asarray(f)
     lab = jnp.asarray(occ.astype(np.uint8))
     w = jnp.float32(0.7)
+    pf = pk.make_parabolic_fn(interpret=True)
     ref = np.array(core.parabolic_pass_sq(fj, lab, w, black_border, binary=True))
     out = np.array(
-        pk.parabolic_fused_pallas(fj, lab, w * w, black_border, masked=False,
-                                  interpret=True)
+        core.parabolic_pass_sq(fj, lab, w, black_border, binary=True,
+                               parabolic_fn=pf)
     )
     fin = np.isfinite(ref)
     assert np.array_equal(np.isfinite(out), fin)
