@@ -82,24 +82,23 @@ def main():
         # device arrays embeds them as constants -> the remote-compile
         # tunnel rejects the oversized program). x[0] = f, x[1] = labels.
         stacked = jnp.stack([f2d, lab2d.astype(jnp.float32)])
-        for lr in (False, True):
-            for br in (8, 16, 32):
-                def mp_step(x, i, br=br, lr=lr):
+        for band in (0, 32, 64, 96):
+            for br in (8, 32):
+                def mp_step(x, i, br=br, band=band):
                     lab_i = x[1].astype(jnp.int32)
                     ss, se = core.segment_bounds(lab_i)
                     return pk.minplus_pallas(x[0], ss, se, w2, masked=True,
-                                             block_rows=br, lane_reduce=lr)
-                timed(f"segbounds + minplus (block_rows={br}, "
-                      f"lane_reduce={lr})", mp_step, stacked, K)
+                                             walls=True, block_rows=br,
+                                             band_r=band)
+                timed(f"segbounds + minplus+walls (block_rows={br}, "
+                      f"band_r={band})", mp_step, stacked, K)
 
     if sec in ("all", "full"):
-        for lr in (False, True):
-            for br in (8, 16, 32):
-                mpv = pk.make_minplus_fn(block_rows=br, lane_reduce=lr)
-                timed(f"FULL edtsq (minplus, block_rows={br}, "
-                      f"lane_reduce={lr})",
-                      lambda x, i, mpv=mpv: compose.edtsq(
-                          x, anis, False, minplus_fn=mpv), lab, K)
+        for band in (0, 32, 64, 96):
+            pf = pk.make_parabolic_fn(band_r=band)
+            timed(f"FULL edtsq (parabolic_fn, band_r={band})",
+                  lambda x, i, pf=pf: compose.edtsq(
+                      x, anis, False, parabolic_fn=pf), lab, K)
 
     if sec in ("all", "binary"):
         # binary all-ones cube with black border (reference headline config)

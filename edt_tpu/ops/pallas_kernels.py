@@ -1,27 +1,27 @@
-"""Pallas TPU kernel for the segment-masked min-plus parabolic pass.
+"""Pallas TPU kernels for the min-plus (FH parabolic) pass.
 
 This is the hot op of the whole framework: the Felzenszwalb–Huttenlocher
 lower-envelope pass (reference /root/reference/src/edt.hpp:168-313) recast
-as a tiled tropical (min,+) evaluation
+as a tropical (min,+) evaluation
 
-    d[r, i] = min_j { f[r, j] + w^2 (i - j)^2 : seg(r, j) == seg(r, i) }
+    d[r, i] = min_j { f[r, j] + w^2 (i - j)^2 }   (then min'd with the
+    per-segment wall parabolas, which provably subsume every
+    foreign-segment candidate — see _minplus_kernel)
 
-with two pruning bounds per 128-wide target tile that restore near-O(n * r)
-work on realistic volumes (r = local feature radius) without any
-data-dependent control flow at the vector level:
+Each 128-target tile bounds its winning offset by
+radius^2 <= min(max f, max wall) (j = i is always a candidate, so
+d[i] <= f[i]; the walls bound d[i] as well) and dispatches on it:
 
-  * segment bound: candidate j must lie inside [min seg_start, max seg_end)
-    of the tile — multi-label volumes with many small segments only ever
-    scan their own segment (the role of the per-segment restarts in the
-    reference, edt.hpp:344-377);
-  * radius bound: d[i] <= f[i] (j = i is always a candidate), so no j with
-    w^2 (i - j)^2 > max_tile f can win — the analogue of the reference's
-    binary fast path that skips distant rows (edt.hpp:528-545), but derived
-    from the data rather than from leading-zero scanning.
+  * small radius -> BANDED: rolling-window scan of the 2*radius + 1
+    diagonal offsets, O(radius)/voxel — the regime of realistic volumes,
+    where the reference's binary fast path skips distant rows
+    (edt.hpp:528-545);
+  * large radius -> TILED: brute-force (rows, j, i) tile pairs over
+    [seg_lo, seg_hi) ∩ [i0 - radius, i0 + TILE + radius), perfectly
+    vectorized with zero data-dependent vector control flow.
 
 Rows ride the 8-sublane axis, scan positions the 128-lane axis; each grid
-program owns a (BLOCK_ROWS, n) slab and loops over target tiles and the
-pruned candidate-tile range.
+program owns a (block_rows, n) slab of rows.
 """
 
 from __future__ import annotations
@@ -45,10 +45,16 @@ TILE = 128
 _INF = float("inf")
 
 
+HALO = TILE  # INF halo around the scan axis enabling unaligned banded loads
+BAND_MAX_R = 16  # banded branch chosen when the pruning radius <= this
+# (measured v5e crossover: the rolling-window band beats a 128-candidate
+# tile pair only for small radii; per-tile dispatch lets smooth regions of
+# the same volume take the band while feature-dense tiles stay tiled)
+
+
 def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
-                    n_tiles, masked, block_rows=MP_BLOCK_ROWS,
-                    lane_reduce=False, j_subtile=0, walls=False,
-                    black_border=False):
+                    n_tiles, masked, block_rows=MP_BLOCK_ROWS, walls=False,
+                    black_border=False, band_r=BAND_MAX_R):
     """Unmasked min-plus; ``masked=True`` only adds segment-extent pruning.
 
     Foreign-segment candidates need no cost mask: a j outside target i's
@@ -60,16 +66,25 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
     zeroing either: they carry f == 0, so candidate j == i already pins
     them to 0.
 
+    Each 128-target tile dispatches on its pruning radius
+    (radius^2 = max_i d_i <= min(max f, max wall), the latter when
+    walls=True):
+
+      * radius <= band_r: BANDED evaluation — d(i) = min_k f(i+k) + w^2 k^2
+        over k in [-radius, radius] with shifted full-tile loads (the f
+        buffer carries an INF halo). Work is O(radius) per voxel — the
+        brute-force tile pair would pay >= 128 candidates per voxel no
+        matter how small the radius (the dominant regime for realistic
+        volumes, where features are tens of voxels).
+      * radius > band_r: TILED evaluation over candidate 128-tiles in
+        [seg_lo, seg_hi) ∩ [i0 - radius, i0 + TILE + radius), cost laid out
+        as (rows, j, i) with targets i on lanes so the candidate min
+        reduces elementwise down the sublane axis.
+
     walls=True fuses the epilogue: masked -> per-segment wall parabolas
     w^2 (i - ss + 1)^2 / w^2 (se - i)^2 gated by black_border at open row
     ends (reference edt.hpp:231-243, 359-375); unmasked (binary) ->
     whole-row border parabolas when black_border.
-
-    lane_reduce selects the tile-pair layout: False (default) evaluates
-    cost as (rows, j, i) with targets i on the 128 lanes so the min over
-    candidates j is an elementwise reduction down the sublane axis — no
-    cross-lane shuffles; True uses the (rows, i, j) layout with a
-    minor-most (lane) reduction.
     """
     # unmasked: ss/se are not kernel inputs at all (no wasted DMA)
     if ss_ref is None:
@@ -79,23 +94,20 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
     n = n_tiles * TILE
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
-    # (TILE, TILE) offset matrix for a tile pair.
+    # (TILE, TILE) offset matrix for a tile pair, [j, i] = i - j.
     # (iota must be integer-typed on TPU; subtract in i32 then convert.)
     ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
     jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
-    if lane_reduce:
-        dmat = (ii - jj).astype(F32)      # [i, j] = i - j
-    else:
-        dmat = (jj - ii).astype(F32)      # [j, i] = i - j
+    dmat = (jj - ii).astype(F32)
 
     def per_target_tile(it, _):
         i0 = it * TILE
-        f_i = f_ref[:, pl.ds(i0, TILE)]
-
-        # --- pruning bounds (scalars) ---
+        f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
+        gi = lanes + i0
         fmax = jnp.max(f_i)
-        radius_f = jnp.sqrt(fmax / w2)
-        radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
+
+        # --- pruning bound on the winning offset (scalar) ---
+        lwall = rwall = None
         if masked:
             ss_i = ss_ref[:, pl.ds(i0, TILE)]
             se_i = se_ref[:, pl.ds(i0, TILE)]
@@ -104,47 +116,75 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
         else:
             seg_lo = jnp.int32(0)
             seg_hi = jnp.int32(n)
-        j_lo = jnp.maximum(seg_lo, i0 - radius)
-        j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
-        jt_lo = jnp.maximum(j_lo // TILE, 0)
-        jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
-
-        def per_candidate_tile(jt, acc):
-            j0 = jt * TILE
-            f_j = f_ref[:, pl.ds(j0, TILE)]
-            shift = (i0 - j0).astype(F32)
-            d = dmat + shift
-            quad = w2 * (d * d)  # (TILE, TILE)
-            if lane_reduce:
-                # cost[r, i, j]; min over lanes j
-                cost = f_j[:, None, :] + quad[None, :, :]
-                return jnp.minimum(acc, jnp.min(cost, axis=-1))
-            if j_subtile:
-                # running min over sublane-sized j chunks: temporaries stay
-                # (block_rows, j_subtile, TILE) instead of a full
-                # (block_rows, TILE, TILE) buffer round-tripping VMEM
-                for js in range(0, TILE, j_subtile):
-                    cost = (f_j[:, js:js + j_subtile, None]
-                            + quad[None, js:js + j_subtile, :])
-                    acc = jnp.minimum(acc, jnp.min(cost, axis=1))
-                return acc
-            # cost[r, j, i]; min over sublane-axis j (elementwise mins)
-            cost = f_j[:, :, None] + quad[None, :, :]
-            return jnp.minimum(acc, jnp.min(cost, axis=1))
+        bound = fmax
+        if walls and masked:
+            li = (gi - ss_i + 1).astype(F32)
+            ri = (se_i - gi).astype(F32)
+            lwall = w2 * (li * li)
+            rwall = w2 * (ri * ri)
+            if not black_border:
+                lwall = jnp.where(ss_i > 0, lwall, _INF)
+                rwall = jnp.where(se_i < n_real, rwall, _INF)
+            # d_i <= wall_i as well, so the radius may use the tighter
+            # min(fmax, max_i wall_i) — this keeps the radius finite even
+            # when f still carries INF from open borders.
+            bound = jnp.minimum(bound, jnp.max(jnp.minimum(lwall, rwall)))
+        radius_f = jnp.sqrt(bound / w2)
+        radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
 
         acc0 = jnp.full((block_rows, TILE), _INF, F32)
-        acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
+
+        def banded(acc):
+            # Rolling window: Mosaic vector loads must be 128-lane aligned,
+            # so assemble the 3 aligned tiles covering
+            # [i0 - TILE, i0 + 2*TILE), rotate once (dynamic) so the first
+            # candidate window [i0 - radius, ...) sits at lane 0, then
+            # advance with a static roll-by-1 per candidate offset.
+            w0 = f_ref[:, pl.ds(HALO + i0 - TILE, TILE)]
+            w2t = f_ref[:, pl.ds(HALO + i0 + TILE, TILE)]
+            wide = jnp.concatenate([w0, f_i, w2t], axis=1)  # (BR, 3*TILE)
+            # left-rotate by TILE - radius == right-rotate by 2*TILE + radius
+            wide = pltpu.roll(wide, 2 * TILE + radius, axis=1)
+
+            # Unrolled x4 to amortize loop overhead; the <= 3 offsets past
+            # +radius that the ceil admits are genuine in-row candidates
+            # (or INF halo), so scanning them never changes the min.
+            unroll = 4
+
+            def body(t, carry):
+                acc, win = carry
+                base = unroll * t - radius
+                for u in range(unroll):
+                    kk = (base + u).astype(F32)
+                    acc = jnp.minimum(acc, win[:, :TILE] + w2 * (kk * kk))
+                    win = pltpu.roll(win, 3 * TILE - 1, axis=1)  # left by 1
+                return acc, win
+
+            trips = (2 * radius + 1 + unroll - 1) // unroll
+            acc, _ = lax.fori_loop(0, trips, body, (acc, wide))
+            return acc
+
+        def tiled(acc):
+            j_lo = jnp.maximum(seg_lo, i0 - radius)
+            j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
+            jt_lo = jnp.maximum(j_lo // TILE, 0)
+            jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
+
+            def per_candidate_tile(jt, acc):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                d = dmat + (i0 - j0).astype(F32)
+                quad = w2 * (d * d)  # (TILE, TILE)
+                # cost[r, j, i]; min over sublane-axis j (elementwise mins)
+                cost = f_j[:, :, None] + quad[None, :, :]
+                return jnp.minimum(acc, jnp.min(cost, axis=1))
+
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc)
+
+        acc = lax.cond(radius <= band_r, banded, tiled, acc0)
 
         if walls:
-            gi = lanes + i0
             if masked:
-                li = (gi - ss_i + 1).astype(F32)
-                ri = (se_i - gi).astype(F32)
-                lwall = w2 * (li * li)
-                rwall = w2 * (ri * ri)
-                if not black_border:
-                    lwall = jnp.where(ss_i > 0, lwall, _INF)
-                    rwall = jnp.where(se_i < n_real, rwall, _INF)
                 acc = jnp.minimum(acc, jnp.minimum(lwall, rwall))
             elif black_border:
                 li = (gi + 1).astype(F32)
@@ -157,22 +197,21 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
-def _pad_to(x, rows, cols, value):
+def _pad_to(x, rows, cols, value, halo=0):
     R, n = x.shape
-    if R == rows and n == cols:
+    if R == rows and n == cols and not halo:
         return x
-    out = jnp.full((rows, cols), value, x.dtype)
-    return out.at[:R, :n].set(x)
+    out = jnp.full((rows, cols + 2 * halo), value, x.dtype)
+    return out.at[:R, halo:halo + n].set(x)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("masked", "interpret", "block_rows",
-                              "lane_reduce", "j_subtile", "walls",
-                              "black_border")
+    jax.jit, static_argnames=("masked", "interpret", "block_rows", "walls",
+                              "black_border", "band_r")
 )
 def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
-                   block_rows=MP_BLOCK_ROWS, lane_reduce=False, j_subtile=0,
-                   walls=False, black_border=False):
+                   block_rows=MP_BLOCK_ROWS, walls=False, black_border=False,
+                   band_r=BAND_MAX_R):
     """Min-plus over rows; f (R, n) f32 -> (R, n) f32.
 
     seg_start/seg_end: int32 per-voxel segment bounds along the row, used
@@ -187,29 +226,30 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
 
-    fp = _pad_to(f.astype(F32), Rp, np_, _INF)
+    fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     w2v = jnp.asarray(w2, F32).reshape(1)
     nrv = jnp.asarray(n, I32).reshape(1)
 
     kw = dict(n_tiles=n_tiles, masked=masked, block_rows=block_rows,
-              lane_reduce=lane_reduce, j_subtile=j_subtile, walls=walls,
-              black_border=black_border)
+              walls=walls, black_border=black_border, band_r=band_r)
     grid = (Rp // block_rows,)
     row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                             memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+                          memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     if masked:
         kernel = functools.partial(_minplus_kernel, **kw)
         ssp = _pad_to(seg_start.astype(I32), Rp, np_, -1)
         sep = _pad_to(seg_end.astype(I32), Rp, np_, 0)
-        in_specs = [scalar_spec, scalar_spec, row_spec, row_spec, row_spec]
+        in_specs = [scalar_spec, scalar_spec, f_spec, row_spec, row_spec]
         args = (w2v, nrv, fp, ssp, sep)
     else:
         def kernel(w2_ref, nreal_ref, f_ref, out_ref):
             _minplus_kernel(w2_ref, nreal_ref, f_ref, None, None, out_ref,
                             **kw)
 
-        in_specs = [scalar_spec, scalar_spec, row_spec]
+        in_specs = [scalar_spec, scalar_spec, f_spec]
         args = (w2v, nrv, fp)
     out = pl.pallas_call(
         kernel,
@@ -222,152 +262,8 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     return out[:R, :n]
 
 
-# ---------------------------------------------------------------------------
-# Monge-windowed binary min-plus.
-#
-# The cost matrix c(i, j) = f[j] + w^2 (i-j)^2 is a Monge matrix, so the
-# leftmost argmin is non-decreasing in i (the property behind the
-# reference's sequential FH hull, edt.hpp:168-244). Phase A computes exact
-# leftmost argmins at the n_tiles+1 tile-boundary targets with a full
-# (radius-pruned) scan — 1/TILE of the brute-force work. Phase B then
-# evaluates each 128-target tile only over the window
-# [argmin(tile start), argmin(next tile start)], which monotonicity
-# guarantees contains every winner in the tile. Smooth distance fields
-# (e.g. the all-ones cube) collapse to ~1 candidate tile per target tile;
-# adversarial rows degrade gracefully to the radius-pruned scan.
-# ---------------------------------------------------------------------------
-
-
-def _argmin_boundary_kernel(w2_ref, f_ref, out_ref, *, n_tiles, n_points,
-                            p_pad):
-    w2 = w2_ref[0]
-    n = n_tiles * TILE
-    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
-    plane = lax.broadcasted_iota(I32, (1, p_pad), 1)
-    br = f_ref.shape[0]
-
-    def per_point(p, wins):
-        ip = jnp.where(p < n_tiles, p * TILE, n - 1)
-        # f at the target: load the containing tile, select the lane
-        t_idx = ip // TILE
-        off = ip - t_idx * TILE
-        f_tile = f_ref[:, pl.ds(t_idx * TILE, TILE)]
-        # conservative radius: max over the block's rows of f at the target
-        f_at = jnp.max(jnp.where(lanes == off, f_tile, jnp.float32(0.0)))
-        radius = jnp.minimum(jnp.sqrt(f_at / w2), jnp.float32(n)).astype(I32) + 1
-        jt_lo = jnp.maximum((ip - radius) // TILE, 0)
-        jt_hi = jnp.minimum((ip + radius) // TILE + 1, n_tiles)
-
-        def per_j(jt, carry):
-            best, argj = carry
-            j0 = jt * TILE
-            jvec = lanes + j0
-            f_j = f_ref[:, pl.ds(j0, TILE)]
-            t = (ip - jvec).astype(F32)
-            cost = f_j + w2 * (t * t)
-            better = cost < best  # strict: keeps the leftmost on ties
-            best = jnp.where(better, cost, best)
-            argj = jnp.where(better, jvec, argj)
-            return best, argj
-
-        best0 = jnp.full((br, TILE), _INF, F32)
-        arg0 = jnp.zeros((br, TILE), I32)
-        best, argj = lax.fori_loop(jt_lo, jt_hi, per_j, (best0, arg0))
-        bestv = jnp.min(best, axis=1, keepdims=True)
-        jmin = jnp.min(jnp.where(best == bestv, argj, n), axis=1, keepdims=True)
-        jmin = jnp.minimum(jmin, n - 1)  # all-INF rows: harmless default
-        return jnp.where(plane == p, jmin, wins)
-
-    wins0 = jnp.zeros((br, p_pad), I32)
-    out_ref[:] = lax.fori_loop(0, n_points, per_point, wins0)
-
-
-def _minplus_windowed_kernel(w2_ref, f_ref, win_ref, out_ref, *, n_tiles):
-    """Binary (unmasked) min-plus using per-tile argmin windows."""
-    w2 = w2_ref[0]
-    n = n_tiles * TILE
-    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
-    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
-    dmat = (ii - jj).astype(F32)
-
-    wins_all = win_ref[:]  # (BR, p_pad) — p_pad is a single lane tile
-    plane = lax.broadcasted_iota(I32, wins_all.shape, 1)
-
-    def per_target_tile(it, _):
-        i0 = it * TILE
-        f_i = f_ref[:, pl.ds(i0, TILE)]
-        fmax = jnp.max(f_i)
-        radius = jnp.minimum(jnp.sqrt(fmax / w2), jnp.float32(n)).astype(I32) + 1
-        w_lo = jnp.min(jnp.where(plane == it, wins_all, n))
-        w_hi = jnp.max(jnp.where(plane == it + 1, wins_all, 0))
-        j_lo = jnp.maximum(w_lo, i0 - radius)
-        j_hi = jnp.minimum(w_hi + 1, i0 + TILE + radius)
-        jt_lo = jnp.maximum(j_lo // TILE, 0)
-        jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
-
-        def per_candidate_tile(jt, acc):
-            j0 = jt * TILE
-            f_j = f_ref[:, pl.ds(j0, TILE)]
-            d = dmat + (i0 - j0).astype(F32)
-            quad = w2 * (d * d)
-            cost = f_j[:, None, :] + quad[None, :, :]
-            return jnp.minimum(acc, jnp.min(cost, axis=-1))
-
-        acc0 = jnp.full(f_i.shape, _INF, F32)
-        acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc0)
-        out_ref[:, pl.ds(i0, TILE)] = acc
-        return 0
-
-    lax.fori_loop(0, n_tiles, per_target_tile, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def minplus_binary_windowed(f, w2, interpret=False, block_rows=BLOCK_ROWS):
-    """Unmasked min-plus along axis -1 with Monge argmin windows (two phases)."""
-    R, n = f.shape
-    n_tiles = max(1, -(-n // TILE))
-    n_points = n_tiles + 1
-    if n_points > TILE:
-        raise ValueError(f"axis too long for windowed kernel: {n}")
-    Rp = -(-R // block_rows) * block_rows
-    np_ = n_tiles * TILE
-
-    fp = _pad_to(f.astype(F32), Rp, np_, _INF)
-    w2v = jnp.asarray(w2, F32).reshape(1)
-
-    row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
-                            memory_space=pltpu.VMEM)
-    # Phase A: boundary argmins. Lane-pad the point axis to a full tile.
-    p_pad = TILE
-    wins = pl.pallas_call(
-        functools.partial(_argmin_boundary_kernel, n_tiles=n_tiles,
-                          n_points=n_points, p_pad=p_pad),
-        grid=(Rp // block_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), row_spec],
-        out_specs=pl.BlockSpec((block_rows, p_pad), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, p_pad), I32),
-        interpret=interpret,
-    )(w2v, fp)
-
-    # Phase B: windowed evaluation.
-    out = pl.pallas_call(
-        functools.partial(_minplus_windowed_kernel, n_tiles=n_tiles),
-        grid=(Rp // block_rows,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row_spec,
-            pl.BlockSpec((block_rows, p_pad), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
-        interpret=interpret,
-    )(w2v, fp, wins)
-    return out[:R, :n]
-
-
-def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS):
+def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
+                      band_r=BAND_MAX_R):
     """Full-pass adapter used by ops.core/compose: signature
     (f2d, labels2d, w2, black_border, binary) -> d2d.
 
@@ -383,7 +279,7 @@ def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS):
             return minplus_pallas(
                 f2d, f2d, f2d, w2, masked=False, walls=True,
                 black_border=black_border, interpret=interpret,
-                block_rows=block_rows,
+                block_rows=block_rows, band_r=band_r,
             )
         from edt_tpu.ops import core
 
@@ -391,28 +287,20 @@ def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS):
         return minplus_pallas(
             f2d, ss, se, w2, masked=True, walls=True,
             black_border=black_border, interpret=interpret,
-            block_rows=block_rows,
+            block_rows=block_rows, band_r=band_r,
         )
 
     return fn
 
 
-def make_minplus_fn(interpret=False, windowed_binary=False,
-                    block_rows=MP_BLOCK_ROWS, lane_reduce=False):
+def make_minplus_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
+                    band_r=BAND_MAX_R):
     """Adapter with the (f2d, seg_start2d, seg_end2d, w2, masked) signature
-    used by ops.core.parabolic_pass_sq.
-
-    windowed_binary=True routes the unmasked case through the
-    Monge-windowed two-phase kernel. Measured on v5e the sqrt(f)-radius
-    pruning of the plain kernel already bounds the candidate range just as
-    tightly on realistic fields, so the extra phase is off by default.
-    """
+    used by ops.core.parabolic_pass_sq (walls applied by the caller)."""
 
     def fn(f2d, seg_start, seg_end, w2, masked=True):
-        if not masked and windowed_binary and f2d.shape[-1] <= (TILE - 1) * TILE:
-            return minplus_binary_windowed(f2d, w2, interpret=interpret)
         return minplus_pallas(f2d, seg_start, seg_end, w2, masked=masked,
                               interpret=interpret, block_rows=block_rows,
-                              lane_reduce=lane_reduce)
+                              band_r=band_r)
 
     return fn

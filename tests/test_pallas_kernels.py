@@ -88,25 +88,6 @@ def test_unmasked_plus_walls_equals_masked():
             assert np.array_equal(unmasked[fin], masked[fin])
 
 
-def test_windowed_binary_matches_core():
-    rng = np.random.default_rng(7)
-    # integer-exact squared distances (like real pass-1 output)
-    occ = (rng.random((16, 384)) > 0.5).astype(np.uint8)
-    f1 = core.rp_pass_sq(jnp.asarray(occ), jnp.float32(1.0), True)
-    zeros = jnp.zeros(f1.shape, jnp.int32)
-    ref = np.array(core.minplus_masked(f1, zeros, jnp.float32(1.0)))
-    out = np.array(pk.minplus_binary_windowed(f1, jnp.float32(1.0),
-                                              interpret=True))
-    assert np.array_equal(out, ref)
-    # constant rows: the smooth-field best case
-    fc = jnp.full((9, 256), 2500.0, jnp.float32)
-    refc = np.array(core.minplus_masked(fc, jnp.zeros(fc.shape, jnp.int32),
-                                        jnp.float32(1.0)))
-    outc = np.array(pk.minplus_binary_windowed(fc, jnp.float32(1.0),
-                                               interpret=True))
-    assert np.array_equal(outc, refc)
-
-
 def test_fused_3d_composition_matches():
     rng = np.random.default_rng(5)
     labels = jnp.asarray(rng.integers(0, 4, size=(10, 11, 12)).astype(np.uint32))
