@@ -47,11 +47,15 @@ def main():
     mp = compose.default_minplus_fn(pallas)
     pf = compose.default_parabolic_fn(pallas)
 
+    from edt_tpu.api import _sorted_axis_order
+    order = _sorted_axis_order(np.asarray((6.0, 6.0, 30.0)))
+
     @jax.jit
     def chained(lab, anis):
         def body(i, acc):
             l = lab.at[0, 0, i].set(0)  # perturb so iterations cannot collapse
-            d = compose.edtsq(l, anis, False, minplus_fn=mp, parabolic_fn=pf)
+            d = compose.edtsq(l, anis, False, minplus_fn=mp, parabolic_fn=pf,
+                              axis_order=order)
             return acc + d[1, 1, 1] + d[SIZE // 2, SIZE // 2, SIZE // 2]
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))

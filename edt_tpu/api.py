@@ -84,16 +84,24 @@ def _as_device_labels(data: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("black_border", "use_pallas", "binary")
+    jax.jit,
+    static_argnames=("black_border", "use_pallas", "binary", "axis_order"),
 )
 def _edtsq_device(labels, anisotropy, black_border, use_pallas=False,
-                  binary=False):
+                  binary=False, axis_order=None):
     return compose.edtsq(
         labels, anisotropy, black_border,
         minplus_fn=compose.default_minplus_fn(use_pallas),
         parabolic_fn=compose.default_parabolic_fn(use_pallas),
         binary=binary,
+        axis_order=axis_order,
     )
+
+
+def _sorted_axis_order(anisotropy):
+    """Static pass order: ascending pitch, default (nd-1 .. 0) on ties."""
+    nd = anisotropy.size
+    return tuple(sorted(range(nd), key=lambda a: (float(anisotropy[a]), -a)))
 
 
 def _normalize_anisotropy(anisotropy, dims):
@@ -175,6 +183,7 @@ def edtsq(
             bool(black_border),
             use_pallas=_use_pallas(),
             binary=take_binary,
+            axis_order=_sorted_axis_order(anisotropy),
         )
         result = np.array(out)  # writable host copy
 

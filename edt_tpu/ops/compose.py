@@ -60,6 +60,7 @@ def edtsq(
     minplus_fn=None,
     binary: bool = False,
     parabolic_fn=None,
+    axis_order: tuple | None = None,
 ) -> jax.Array:
     """Squared multi-label anisotropic EDT of a 1/2/3-D (or N-D) volume.
 
@@ -77,15 +78,24 @@ def edtsq(
     nd = labels.ndim
     anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
 
-    # Pass 1: closed-form Rosenfeld-Pfaltz along the last axis.
+    # The Saito decomposition is axis-order independent; axis_order (a
+    # static permutation, first entry takes the RP pass) lets callers run
+    # cheap-pitch axes first so later parabolic passes see radii scaled by
+    # w_early / w_late — dramatically smaller candidate windows on
+    # anisotropic volumes (the NumPy API sorts by ascending anisotropy).
+    if axis_order is None:
+        axis_order = tuple(range(nd - 1, -1, -1))
+
+    # Pass 1: closed-form Rosenfeld-Pfaltz.
+    a1 = axis_order[0]
     f = _along_last(
-        lambda lab: core.rp_pass_sq(lab, anisotropy[nd - 1], black_border),
-        nd - 1,
+        lambda lab: core.rp_pass_sq(lab, anisotropy[a1], black_border),
+        a1,
         labels,
     )
 
     # Passes 2..nd: parabolic along each remaining axis.
-    for ax in range(nd - 2, -1, -1):
+    for ax in axis_order[1:]:
         if binary:
             f = _along_last(
                 lambda ff, _ax=ax: core.parabolic_pass_sq(

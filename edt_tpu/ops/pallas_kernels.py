@@ -125,10 +125,10 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
             if not black_border:
                 lwall = jnp.where(ss_i > 0, lwall, _INF)
                 rwall = jnp.where(se_i < n_real, rwall, _INF)
-            # d_i <= wall_i as well, so the radius may use the tighter
-            # min(fmax, max_i wall_i) — this keeps the radius finite even
+            # d_i <= min(f_i, wall_i), so the radius may use the tighter
+            # max_i min(f_i, wall_i) — this also keeps the radius finite
             # when f still carries INF from open borders.
-            bound = jnp.minimum(bound, jnp.max(jnp.minimum(lwall, rwall)))
+            bound = jnp.max(jnp.minimum(f_i, jnp.minimum(lwall, rwall)))
         radius_f = jnp.sqrt(bound / w2)
         radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
 
