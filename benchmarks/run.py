@@ -18,7 +18,11 @@ Host-API timings (each) are wall-clock around the NumPy surface.
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -59,6 +63,7 @@ def main():
     import edt_tpu as edt
 
     mp = compose.default_minplus_fn(_use_pallas())
+    pf = compose.default_parabolic_fn(_use_pallas())
     rng = np.random.default_rng(0)
     results = {}
 
@@ -68,12 +73,18 @@ def main():
 
     def binary_step(x, i):
         l = x.at[0, 0, i].set(0)
-        d = compose.edtsq(l, aniso, True, minplus_fn=mp, binary=True)
+        d = compose.edtsq(l, aniso, True, minplus_fn=mp, parabolic_fn=pf,
+                          binary=True)
         return d[S // 2, S // 2, S // 2]
 
     dt = chain_timer(binary_step, args.iters)(ones)
     results["binary_cube_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
                                   "ref_s_512": 7.0}
+
+    rb = jnp.asarray((rng.random((S, S, S)) > 0.5).astype(np.uint8))
+    dt = chain_timer(binary_step, args.iters)(rb)
+    results["binary_random_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
+                                    "ref_s_512": 7.0}
 
     # ---- multi-label ----
     blk = max(1, S // 16)
@@ -84,7 +95,8 @@ def main():
 
     def ml_step(x, i):
         l = x.at[0, 0, i].set(0)
-        d = compose.edtsq(l, anis6, False, minplus_fn=mp)
+        d = compose.edtsq(l, anis6, False, minplus_fn=mp, parabolic_fn=pf,
+                          axis_order=(1, 0, 2))
         return d[S // 2, S // 2, S // 2]
 
     dt = chain_timer(ml_step, args.iters)(lab)
@@ -94,7 +106,7 @@ def main():
     # ---- sdf ----
     def sdf_step(x, i):
         l = x.at[0, 0, i].set(0)
-        d = compose.sdfsq(l, aniso, True, minplus_fn=mp)
+        d = compose.sdfsq(l, aniso, True, minplus_fn=mp, parabolic_fn=pf)
         return d[S // 2, S // 2, S // 2]
 
     dt = chain_timer(sdf_step, args.iters)(lab)
