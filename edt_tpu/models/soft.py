@@ -53,8 +53,26 @@ def _chunk_rows(f, row_chunk):
 # ---------------- hard min with argmin-residual VJP ----------------
 
 
+def _use_pallas():
+    import os
+
+    if os.environ.get("EDT_TPU_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _minplus_hard_with_arg(f, w2):
-    """(R, n) -> (d, argj) brute-force unmasked min-plus along axis -1."""
+    """(R, n) -> (d, argj) unmasked min-plus along axis -1 with argmin.
+
+    On TPU this runs as a radius-pruned Pallas kernel
+    (pallas_kernels.minplus_argmin_pallas, leftmost argmin on ties like
+    jnp.argmin); elsewhere a brute-force jnp evaluation chunked over rows.
+    """
+    if _use_pallas():
+        from edt_tpu.ops import pallas_kernels
+
+        return pallas_kernels.minplus_argmin_pallas(f, w2)
+
     R, n = f.shape
     i = jnp.arange(n, dtype=F32)
     diff = i[:, None] - i[None, :]
@@ -86,10 +104,15 @@ def _minplus_hard_fwd(f, w2):
 
 def _minplus_hard_bwd(res, g):
     argj, w2, n = res
-    R = argj.shape[0]
-    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
     # d[r, i] = f[r, argj[r, i]] + w2 * (i - argj)^2
-    df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
+    if _use_pallas():
+        from edt_tpu.ops import pallas_kernels
+
+        df = pallas_kernels.minplus_grad_pallas(g, argj)
+    else:
+        R = argj.shape[0]
+        rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+        df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
     i = jnp.arange(n, dtype=F32)[None, :]
     dw2 = jnp.sum(g * (i - argj.astype(F32)) ** 2)
     return df, dw2

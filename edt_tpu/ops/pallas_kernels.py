@@ -262,6 +262,230 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     return out[:R, :n]
 
 
+# ---------------------------------------------------------------------------
+# Min-plus with argmin — the forward pass of the differentiable (soft) EDT
+# at temperature 0 (edt_tpu.models.soft). Unmasked, no walls; returns the
+# winning candidate index per voxel so the custom VJP can scatter
+# cotangents with O(voxels) residual memory. Leftmost argmin on ties,
+# matching jnp.argmin (the jnp oracle path).
+# ---------------------------------------------------------------------------
+
+
+def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
+                           block_rows):
+    w2 = w2_ref[0]
+    n = n_tiles * TILE
+    # (TILE, TILE) [i, j] = i - j; i on sublanes, j on lanes so the argmin
+    # along candidates is a lane reduction with a lane-index select.
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (ii - jj).astype(F32)
+    jlanes = lax.broadcasted_iota(I32, (1, 1, TILE), 2)
+
+    ilanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
+
+        # Banded pass with argmin over |k| <= R0, scanning k in LEFTMOST-j
+        # order (k = -R0 .. R0) with strict improvement so ties resolve to
+        # the lowest j like jnp.argmin. Soft-EDT height fields carry
+        # barrier-sized values (a bound from f_i alone would force a full
+        # scan), but max_i d_hat bounds every winning offset:
+        # w^2 (i-j*)^2 <= d_i <= d_hat_i. If that shows radius <= R0, the
+        # band already saw every possible winner and we are done — the
+        # common case on realistic occupancy fields; otherwise fall back to
+        # the full tile-pair scan.
+        R0 = 16
+        w0 = f_ref[:, pl.ds(HALO + i0 - TILE, TILE)]
+        w2t = f_ref[:, pl.ds(HALO + i0 + TILE, TILE)]
+        wide = jnp.concatenate([w0, f_i, w2t], axis=1)
+        wide = pltpu.roll(wide, 2 * TILE + R0, axis=1)  # left by TILE - R0
+        dhat = jnp.full(f_i.shape, _INF, F32)
+        ahat = jnp.zeros(f_i.shape, I32)
+        for k in range(2 * R0 + 1):
+            kk = jnp.float32(k - R0)
+            cand = wide[:, :TILE] + w2 * (kk * kk)
+            better = cand < dhat
+            dhat = jnp.where(better, cand, dhat)
+            ahat = jnp.where(better, ilanes + (i0 + k - R0), ahat)
+            wide = pltpu.roll(wide, 3 * TILE - 1, axis=1)  # left by 1
+        # clamp: padded-halo winners only occur for all-INF rows
+        ahat = jnp.clip(ahat, 0, n - 1)
+
+        bound = jnp.max(dhat)
+        radius = jnp.minimum(jnp.sqrt(bound / w2), jnp.float32(n)).astype(I32) + 1
+
+        def banded_done(_):
+            return dhat, ahat
+
+        def tiled_scan(_):
+            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_candidate_tile(jt, carry):
+                best, arg = carry
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                d = dmat + (i0 - j0).astype(F32)
+                quad = w2 * (d * d)
+                cost = f_j[:, None, :] + quad[None, :, :]  # (BR, T_i, T_j)
+                tile_best = jnp.min(cost, axis=-1)
+                tile_arg = jnp.min(
+                    jnp.where(cost == tile_best[..., None], jlanes + j0, n),
+                    axis=-1,
+                )
+                # strict < keeps the leftmost tile's winner on cross-tile ties
+                better = tile_best < best
+                return (jnp.where(better, tile_best, best),
+                        jnp.where(better, tile_arg, arg))
+
+            best0 = jnp.full((block_rows, TILE), _INF, F32)
+            arg0 = jnp.zeros((block_rows, TILE), I32)
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
+                                 (best0, arg0))
+
+        best, arg = lax.cond(radius <= R0, banded_done, tiled_scan, 0)
+        out_ref[:, pl.ds(i0, TILE)] = best
+        arg_ref[:, pl.ds(i0, TILE)] = arg
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows")
+)
+def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS):
+    """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index."""
+    R, n = f.shape
+    n_tiles = max(1, -(-n // TILE))
+    Rp = -(-R // block_rows) * block_rows
+    np_ = n_tiles * TILE
+
+    fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
+    w2v = jnp.asarray(w2, F32).reshape(1)
+
+    row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+                          memory_space=pltpu.VMEM)
+    d, arg = pl.pallas_call(
+        functools.partial(_minplus_argmin_kernel, n_tiles=n_tiles,
+                          block_rows=block_rows),
+        grid=(Rp // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), f_spec],
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((Rp, np_), F32),
+                   jax.ShapeDtypeStruct((Rp, np_), I32)),
+        interpret=interpret,
+    )(w2v, fp)
+    return d[:R, :n], arg[:R, :n]
+
+
+def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
+    """Transpose of argmin routing: df[r, j] = sum_i g[r, i] [argj[r, i] == j].
+
+    A gather formulation of the VJP scatter — XLA scatter-add serializes on
+    TPU; here each target tile scans source positions within the block's
+    maximum link offset (banded rolling window when small, tile pairs
+    otherwise). Padding carries argj == its own global position with g == 0,
+    so padded/halo sites never contribute.
+    """
+    n = n_tiles * TILE
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+
+    # max |argj - i| over the block bounds every link
+    def _moff_tile(t, m):
+        a = arg_ref[:, pl.ds(HALO + t * TILE, TILE)]
+        pos = lanes + t * TILE
+        return jnp.maximum(m, jnp.max(jnp.abs(a - pos)))
+
+    moff = lax.fori_loop(0, n_tiles, _moff_tile, jnp.int32(0))
+
+    R0 = 16
+
+    def per_target_tile(jt, _):
+        j0 = jt * TILE
+        jpos = lanes + j0  # (1, TILE) global target positions
+        acc0 = jnp.zeros((block_rows, TILE), F32)
+
+        def banded(acc):
+            # rolling 3-tile windows of g and argj over source positions
+            # i = j + k, k in [-R0, R0]
+            def win3(ref):
+                a = ref[:, pl.ds(HALO + j0 - TILE, TILE)]
+                b = ref[:, pl.ds(HALO + j0, TILE)]
+                c = ref[:, pl.ds(HALO + j0 + TILE, TILE)]
+                w = jnp.concatenate([a, b, c], axis=1)
+                return pltpu.roll(w, 2 * TILE + R0, axis=1)  # left by T - R0
+
+            gw = win3(g_ref)
+            aw = win3(arg_ref)
+            for _k in range(2 * R0 + 1):
+                hit = aw[:, :TILE] == jpos
+                acc = acc + jnp.where(hit, gw[:, :TILE], 0.0)
+                gw = pltpu.roll(gw, 3 * TILE - 1, axis=1)
+                aw = pltpu.roll(aw, 3 * TILE - 1, axis=1)
+            return acc
+
+        def tiled(acc):
+            it_lo = jnp.maximum((j0 - moff) // TILE, 0)
+            it_hi = jnp.minimum((j0 + TILE + moff + TILE - 1) // TILE, n_tiles)
+
+            jlanes3 = lax.broadcasted_iota(I32, (1, 1, TILE), 2) + j0
+
+            def per_source_tile(it, acc):
+                i0 = it * TILE
+                g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
+                a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
+                # hit[r, i, j] = argj[r, i0+i] == j0+j
+                hit = a_i[:, :, None] == jlanes3
+                contrib = jnp.where(hit, g_i[:, :, None], 0.0)
+                return acc + jnp.sum(contrib, axis=1)
+
+            return lax.fori_loop(it_lo, it_hi, per_source_tile, acc)
+
+        acc = lax.cond(moff <= R0, banded, tiled, acc0)
+        out_ref[:, pl.ds(j0, TILE)] = acc
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS):
+    """VJP routing for minplus_argmin_pallas: (R, n) g, argj -> df (R, n)."""
+    R, n = g.shape
+    n_tiles = max(1, -(-n // TILE))
+    Rp = -(-R // block_rows) * block_rows
+    np_ = n_tiles * TILE
+
+    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=HALO)
+    # pad argj with its own global position (links of length 0, g == 0)
+    pos = jnp.broadcast_to(jnp.arange(-HALO, np_ + HALO, dtype=jnp.int32),
+                           (Rp, np_ + 2 * HALO))
+    ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
+    out = pl.pallas_call(
+        functools.partial(_minplus_grad_kernel, n_tiles=n_tiles,
+                          block_rows=block_rows),
+        grid=(Rp // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        interpret=interpret,
+    )(gp, ap)
+    return out[:R, :n]
+
+
 def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
                       band_r=BAND_MAX_R):
     """Full-pass adapter used by ops.core/compose: signature

@@ -98,3 +98,43 @@ def test_fused_3d_composition_matches():
     a = np.array(compose.edtsq(labels, anis, True))
     b = np.array(compose.edtsq(labels, anis, True, parabolic_fn=pf))
     assert np.array_equal(a, b)
+
+
+def test_argmin_kernel_matches_jnp():
+    """Soft-path forward kernel: min-plus + leftmost argmin == jnp oracle,
+    across small-radius, tied, and barrier-height regimes."""
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        f = (rng.random((9, 300)) * 50).astype(np.float32)
+        f[rng.random((9, 300)) > 0.6] = 0.0
+        if seed == 2:  # soft-EDT barrier heights
+            f = (rng.random((9, 300)) > 0.5).astype(np.float32) * 2.7e5
+        fj = jnp.asarray(f)
+        w2 = jnp.float32(1.3)
+        i = jnp.arange(300, dtype=jnp.float32)
+        cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
+        d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True)
+        assert np.array_equal(np.array(d), np.array(jnp.min(cost, -1)))
+        assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1)))
+
+
+def test_grad_gather_kernel_matches_scatter():
+    """Soft-path backward kernel: gather formulation == scatter-add,
+    including rare long-range argmin links that force the tiled branch."""
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        R, n = 9, 300
+        i = np.arange(n)
+        off = rng.integers(-5, 6, size=(R, n))
+        if seed == 2:
+            off[rng.random((R, n)) > 0.98] = 200
+        argj = np.clip(i[None, :] + off, 0, n - 1).astype(np.int32)
+        g = rng.random((R, n)).astype(np.float32)
+        rows = np.arange(R)[:, None]
+        ref = np.zeros((R, n), np.float32)
+        np.add.at(ref, (rows.repeat(n, 1), argj), g)
+        out = np.array(
+            pk.minplus_grad_pallas(jnp.asarray(g), jnp.asarray(argj),
+                                   interpret=True)
+        )
+        assert np.allclose(out, ref, atol=1e-5)
