@@ -134,9 +134,10 @@ def main():
     shape = (min(S, 512), min(S, 512), 100)
     nl = rng.integers(1, 335, size=(shape[0] // 32, shape[1] // 32, shape[2] // 20))
     lab_each = np.kron(nl, np.ones((32, 32, 20), np.int16)).astype(np.uint16)
+    edt.edt(lab_each, anisotropy=(6, 6, 30), black_border=True)  # warm/compile
     t0 = time.perf_counter()
     mdt = edt.edt(lab_each, anisotropy=(6, 6, 30), black_border=True)
-    t_edt = time.perf_counter() - t0
+    t_edt = time.perf_counter() - t0  # wall incl. host<->device transfer
     t0 = time.perf_counter()
     count = 0
     for _label, img in edt.each(lab_each, mdt, in_place=True):
@@ -150,9 +151,11 @@ def main():
     Sv = min(S, 256)
     labv = np.ones((Sv, Sv, Sv), np.uint8)
     graph = np.full((Sv, Sv, Sv), 0b111111, np.uint8)
+    edt.edtsq(labv, voxel_graph=graph, black_border=True)  # warm/compile
     t0 = time.perf_counter()
     edt.edtsq(labv, voxel_graph=graph, black_border=True)
-    results[f"voxel_graph_{Sv}^3"] = {"s": time.perf_counter() - t0}
+    results[f"voxel_graph_{Sv}^3"] = {
+        "s": time.perf_counter() - t0}  # wall incl. transfer of 8x volume
 
     print(json.dumps({"size": S, "backend": jax.default_backend(),
                       "results": results}, indent=2))

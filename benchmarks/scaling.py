@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
+
+# this environment's TPU plugin imports jax at interpreter start, so plain
+# JAX_PLATFORMS is too late; force via config before first backend use
+if os.environ.get("EDT_SCALING_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from edt_tpu.ops import compose

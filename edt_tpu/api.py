@@ -185,7 +185,11 @@ def edtsq(
             binary=take_binary,
             axis_order=_sorted_axis_order(anisotropy),
         )
-        result = np.array(out)  # writable host copy
+        # writable host copy; order="C" matters: this environment's device
+        # transport can hand back a non-contiguous ndarray view, and
+        # downstream RLE extraction (each/runs) needs contiguity to use the
+        # native kit instead of per-run Python slicing
+        result = np.array(out, order="C")
 
     if arr_order == "F":
         result = np.asfortranarray(result)

@@ -67,6 +67,10 @@ def edtsq_sharded(
     """
     nd = labels.ndim
     assert nd == 3, "sharded path is 3-D; lower dims fit on one chip"
+    if minplus_fn is None and parabolic_fn is None:
+        from edt_tpu.ops import compose
+
+        parabolic_fn = compose.default_parabolic_fn()  # Pallas on TPU
     anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
     nshards = mesh.shape[axis_name]
     if labels.shape[0] % nshards or labels.shape[2] % nshards:
