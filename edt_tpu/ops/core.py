@@ -63,14 +63,23 @@ def segment_bounds(labels: jax.Array) -> tuple[jax.Array, jax.Array]:
     segment id: voxels share a segment iff they share a start.
     """
     n = labels.shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    # int16 scans when positions fit: the cummax/cummin lower to log-n
+    # shifted-select passes over HBM, so halving the element width halves
+    # the dominant traffic (values are bounded by n)
+    idt = jnp.int16 if n <= 32767 else jnp.int32
+    idx = jnp.arange(n, dtype=idt)
     neq = labels[..., 1:] != labels[..., :-1]
     pad_shape = labels.shape[:-1] + (1,)
     true_pad = jnp.ones(pad_shape, dtype=bool)
     is_start = jnp.concatenate([jnp.broadcast_to(true_pad, pad_shape), neq], axis=-1)
     is_end = jnp.concatenate([neq, jnp.broadcast_to(true_pad, pad_shape)], axis=-1)
-    start = lax.cummax(jnp.where(is_start, idx, 0), axis=labels.ndim - 1)
-    end = lax.cummin(jnp.where(is_end, idx + 1, n), axis=labels.ndim - 1, reverse=True)
+    start = lax.cummax(
+        jnp.where(is_start, idx, idt(0)), axis=labels.ndim - 1
+    ).astype(jnp.int32)
+    end = lax.cummin(
+        jnp.where(is_end, idx + idt(1), idt(n)), axis=labels.ndim - 1,
+        reverse=True,
+    ).astype(jnp.int32)
     return start, end
 
 
