@@ -129,6 +129,13 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
             # max_i min(f_i, wall_i) — this also keeps the radius finite
             # when f still carries INF from open borders.
             bound = jnp.max(jnp.minimum(f_i, jnp.minimum(lwall, rwall)))
+        elif walls and black_border:
+            # binary + black border: the whole-row border parabolas bound
+            # d_i too, so border tiles get small radii (banded branch)
+            bli = (gi + 1).astype(F32)
+            bri = (n_real - gi).astype(F32)
+            bwall = w2 * jnp.minimum(bli * bli, bri * bri)
+            bound = jnp.max(jnp.minimum(f_i, bwall))
         radius_f = jnp.sqrt(bound / w2)
         radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
 
