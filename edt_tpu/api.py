@@ -30,11 +30,7 @@ _DEVICE_MAX_AXIS = 8192
 
 
 def _use_pallas():
-    import os
-
-    if os.environ.get("EDT_TPU_DISABLE_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
+    return compose.use_pallas_default()
 
 
 def _order_of(data: np.ndarray) -> str:
@@ -159,6 +155,12 @@ def edtsq(
 
     anisotropy = _normalize_anisotropy(anisotropy, dims)
 
+    # binary reduction happens before dispatch so every branch (device,
+    # host fallback, voxel graph) sees the same foreground mask
+    take_binary = bool(data.dtype == np.bool_) or binary
+    if binary and data.dtype != np.bool_:
+        data = data != 0
+
     if voxel_graph is not None:
         from edt_tpu.ops import voxel_graph as vg
 
@@ -170,12 +172,9 @@ def edtsq(
     else:
         # bool volumes take the binary fast path, like the reference's
         # bool* overload (edt.hpp:580-587, ~1.3-1.6x there, ~1.8x here);
-        # binary=True reduces any input to its foreground mask first
+        # binary=True reduced the input to its foreground mask above
         # (reference binary_edt declares multi-label input unsupported,
         # edt.hpp:5-9 — we define it as nonzero == foreground).
-        take_binary = bool(data.dtype == np.bool_) or binary
-        if binary and data.dtype != np.bool_:
-            data = data != 0
         labels = _as_device_labels(data)
         out = _edtsq_device(
             jnp.asarray(labels),

@@ -145,7 +145,10 @@ def synthetic_batch(key, batch, shape, c_in=8):
 
     from edt_tpu.ops import compose
 
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    key_geom, key_noise = jax.random.split(key)
+    rng = np.random.default_rng(
+        int(jax.random.randint(key_geom, (), 0, 2**31 - 1))
+    )
     labels = np.zeros((batch, *shape), np.uint8)
     for b in range(batch):
         x0, y0, z0 = rng.integers(0, np.array(shape) // 2, 3)
@@ -157,6 +160,6 @@ def synthetic_batch(key, batch, shape, c_in=8):
     target = jax.vmap(
         lambda l: compose.edtsq(l, jnp.ones(3, F32), True)
     )(lab)
-    noise = jax.random.normal(key, (batch, *shape, c_in), F32) * 0.1
+    noise = jax.random.normal(key_noise, (batch, *shape, c_in), F32) * 0.1
     feats = lab[..., None].astype(F32) + noise
     return feats, target

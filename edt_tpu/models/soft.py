@@ -54,11 +54,9 @@ def _chunk_rows(f, row_chunk):
 
 
 def _use_pallas():
-    import os
+    from edt_tpu.ops.compose import use_pallas_default
 
-    if os.environ.get("EDT_TPU_DISABLE_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
+    return use_pallas_default()
 
 
 def _minplus_hard_with_arg(f, w2):

@@ -24,6 +24,16 @@ import jax.numpy as jnp
 from edt_tpu.ops import core
 
 
+def use_pallas_default():
+    """True when the Pallas kernels should be the default backend
+    (TPU, unless EDT_TPU_DISABLE_PALLAS is set)."""
+    import os
+
+    if os.environ.get("EDT_TPU_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def default_minplus_fn(use_pallas=None):
     """Pick the min-plus backend: Pallas kernel on TPU, fused jnp elsewhere."""
     if use_pallas is None:

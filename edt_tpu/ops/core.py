@@ -228,12 +228,11 @@ def parabolic_pass_sq(
         return d.reshape(shape)
 
     if binary:
-        zeros = jnp.zeros(f2.shape, jnp.int32)
-        full = jnp.full(f2.shape, n, jnp.int32)
         if minplus_fn is None:
-            d = minplus_masked(f2, zeros, w2, row_chunk=row_chunk)
+            d = minplus_masked(f2, None, w2, row_chunk=row_chunk)
         else:
-            d = minplus_fn(f2, zeros, full, w2, masked=False)
+            # seg arrays are unused with masked=False; pass f2 placeholders
+            d = minplus_fn(f2, f2, f2, w2, masked=False)
         d = d.reshape(shape)
         if black_border:
             idx = jnp.arange(n, dtype=jnp.int32)

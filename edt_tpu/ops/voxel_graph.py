@@ -167,7 +167,10 @@ def edtsq_voxel_graph_jnp(labels, graph, anisotropy, black_border=False,
     if nd != 3:
         raise ValueError("edtsq_voxel_graph_jnp is 3-D; use the NumPy API for 2-D")
     anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
-    fg = (labels != 0).astype(jnp.uint8)
+    if jnp.issubdtype(labels.dtype, jnp.floating):
+        fg = (labels > 0).astype(jnp.uint8)  # reference: negative floats = bg
+    else:
+        fg = (labels != 0).astype(jnp.uint8)
     D = doubled_3d_jnp(fg, graph.astype(jnp.uint8), black_border)
     d2 = compose.edtsq(D, anisotropy / 2.0, black_border,
                        minplus_fn=minplus_fn, binary=True)
@@ -198,7 +201,14 @@ def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):
         anisotropy = anisotropy[::-1]
     graph = np.ascontiguousarray(graph)
 
-    fg = (data != 0).astype(np.uint8)
+    # reference foreground test is `labels > 0` on the raw values
+    # (edt_voxel_graph.hpp:141): signed ints were already reinterpreted
+    # unsigned by the Cython layer, so only floats can be negative — and
+    # negative floats are background there. Mirror that exactly.
+    if np.issubdtype(data.dtype, np.floating):
+        fg = (data > 0).astype(np.uint8)
+    else:
+        fg = (data != 0).astype(np.uint8)
 
     from edt_tpu.api import _use_pallas
 
@@ -212,5 +222,6 @@ def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):
     sub = np.array(out, order="C")
 
     if arr_order == "F":
-        sub = np.transpose(sub, perm)
-    return np.ascontiguousarray(sub)
+        # transposed view; api.edtsq materializes the F-order copy
+        return np.transpose(sub, perm)
+    return sub

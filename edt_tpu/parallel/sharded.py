@@ -136,7 +136,10 @@ def edtsq_voxel_graph_sharded(
         out_specs=P(axis_name, None, None),
     )
     def build(lab, g):
-        fg = (lab != 0).astype(jnp.uint8)
+        if jnp.issubdtype(lab.dtype, jnp.floating):
+            fg = (lab > 0).astype(jnp.uint8)  # reference: negative floats = bg
+        else:
+            fg = (lab != 0).astype(jnp.uint8)
         is_last = lax.axis_index(axis_name) == nshards - 1
         D = doubled_3d_jnp(fg, g.astype(jnp.uint8), False)
         if black_border:

@@ -205,3 +205,20 @@ def test_reshape_stride_tricks():
     arrf = np.asfortranarray(arr)
     flatf = edt.reshape(arrf, (12,))
     assert np.array_equal(flatf, arrf.ravel(order="F"))
+
+
+def test_binary_flag_respected_by_host_fallback():
+    """binary=True must reduce to the foreground mask before dispatch —
+    including the long-axis host fallback (regression: the fallback used
+    to receive the raw labels and treat the 1|2 boundary as a wall)."""
+    n = 8200  # > _DEVICE_MAX_AXIS
+    row = np.ones(n, np.uint32)
+    row[n // 2:] = 2
+    row[0] = 0  # one background voxel so distances are finite
+    data = np.stack([row, row])
+    got = edt.binary_edtsq(data)
+    want = edt.edtsq((data != 0).astype(np.uint8))
+    assert np.array_equal(got, want)
+    # the old bug made the 1|2 boundary a wall => distance 1 there
+    mid = n // 2
+    assert got[0, mid] > 1.0

@@ -117,3 +117,28 @@ def test_voxel_graph_multilabel_foreground_only():
     dt = edt.edt(labels, voxel_graph=graph, black_border=True)
     binary = edt.edt((labels > 0), voxel_graph=graph, black_border=True)
     assert np.array_equal(dt, binary)
+
+
+def test_doubled_2d_jnp_matches_numpy():
+    """Device and NumPy 2x upsamples agree (the 3-D pair has the same
+    parity test; this covers the 2-D site table)."""
+    import jax.numpy as jnp
+    from edt_tpu.ops import voxel_graph as vg
+
+    rng = np.random.default_rng(3)
+    fg = (rng.random((13, 17)) > 0.4).astype(np.uint8)
+    g = rng.integers(0, 64, size=(13, 17)).astype(np.uint8)
+    for bb in (False, True):
+        a = vg._doubled_2d(fg, g, bb)
+        b = np.array(vg.doubled_2d_jnp(jnp.asarray(fg), jnp.asarray(g), bb))
+        assert np.array_equal(a, b)
+
+
+def test_voxel_graph_negative_float_labels_background():
+    """Reference semantics: the voxel-graph foreground test is labels > 0
+    on float inputs (edt_voxel_graph.hpp:141) — negative floats are
+    background."""
+    labels = np.array([[ -1.0, -1.0, 2.0, 2.0]], np.float32).reshape(2, 2)
+    graph = np.full((2, 2), 0xFF, np.uint8)
+    out = edt.edtsq(labels, voxel_graph=graph, black_border=True)
+    assert np.all(out[labels < 0] == 0)
