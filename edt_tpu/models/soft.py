@@ -120,12 +120,16 @@ _minplus_hard.defvjp(_minplus_hard_fwd, _minplus_hard_bwd)
 
 
 # ---------------- softmin ----------------
+#
+# The softmin pass carries a custom VJP: naive AD through the logsumexp
+# keeps the (rows, n_i, n_j) softmax-weight tensor as a residual — 16 GB
+# at 256^3 — while the weights are cheap to *recompute* in the backward
+# from the O(rows * n) forward output d (they are exp(-(cost - d)/t), and
+# they sum to 1 over j by construction).
 
 
-def _minplus_soft(f, w2, temperature):
-    """Softmin-plus: -t * logsumexp(-(f_j + w2 (i-j)^2) / t) along axis -1."""
+def _soft_fwd_impl(f, w2, t):
     R, n = f.shape
-    t = temperature
     i = jnp.arange(n, dtype=F32)
     diff = i[:, None] - i[None, :]
     quad = diff * diff
@@ -141,6 +145,64 @@ def _minplus_soft(f, w2, temperature):
     return d.reshape(-1, n)[:R]
 
 
+def _soft_bwd_impl(f, w2, d, g, t):
+    """df[r, j] = sum_i g[r, i] p[r, i, j]; dw2 = sum g p q.
+
+    p[r, i, j] = exp(-(f[r, j] + w2 q(i,j) - d[r, i]) / t) are the softmax
+    weights, recomputed chunk-wise so only (chunk, n, n) transients exist.
+    """
+    R, n = f.shape
+    i = jnp.arange(n, dtype=F32)
+    diff = i[:, None] - i[None, :]
+    quad = diff * diff
+
+    def one(args):
+        fc, dc, gc = args
+        p = jnp.exp(-(fc[:, None, :] + w2 * quad - dc[:, :, None]) / t)
+        df = jnp.einsum("ri,rij->rj", gc, p)
+        dw2 = jnp.sum(gc[:, :, None] * p * quad)
+        return df, dw2
+
+    if R <= _ROW_CHUNK:
+        return one((f, d, g))
+    pad = (-R) % _ROW_CHUNK
+    if pad:
+        z = jnp.zeros((pad, n), F32)
+        # padded rows: g = 0 contributes nothing; f/d finite keeps exp sane
+        f = jnp.concatenate([f, z], axis=0)
+        d = jnp.concatenate([d, z], axis=0)
+        g = jnp.concatenate([g, z], axis=0)
+    m = f.shape[0] // _ROW_CHUNK
+    shp = (m, _ROW_CHUNK, n)
+    df, dw2 = lax.map(one, (f.reshape(shp), d.reshape(shp), g.reshape(shp)))
+    return df.reshape(-1, n)[:R], jnp.sum(dw2)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_minplus_soft(t):
+    """Softmin-plus with O(rows * n) residuals; t is a static float."""
+
+    @jax.custom_vjp
+    def msoft(f, w2):
+        return _soft_fwd_impl(f, w2, t)
+
+    def fwd(f, w2):
+        d = _soft_fwd_impl(f, w2, t)
+        return d, (f, w2, d)
+
+    def bwd(res, g):
+        f, w2, d = res
+        return _soft_bwd_impl(f, w2, d, g, t)
+
+    msoft.defvjp(fwd, bwd)
+    return msoft
+
+
+def _minplus_soft(f, w2, temperature):
+    """Softmin-plus: -t * logsumexp(-(f_j + w2 (i-j)^2) / t) along axis -1."""
+    return _make_minplus_soft(float(temperature))(f, w2)
+
+
 # ---------------- passes and composition ----------------
 
 
@@ -152,7 +214,7 @@ def _soft_pass(f, w, black_border, temperature):
     shape = f.shape
     f2 = f.reshape(-1, n)
     if temperature and temperature > 0.0:
-        d = _minplus_soft(f2, w2, jnp.asarray(temperature, F32))
+        d = _minplus_soft(f2, w2, float(temperature))
     else:
         d = _minplus_hard(f2, w2)
     d = d.reshape(shape)

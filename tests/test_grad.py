@@ -89,3 +89,28 @@ def test_sdf_soft_sign():
     s = np.array(s)
     assert np.all(s[occ > 0.5] > 0)
     assert np.all(s[occ <= 0.5] < 0)
+
+
+def test_softmin_custom_vjp_matches_ad():
+    """The softmin pass recomputes softmax weights in its custom backward
+    (naive AD kept an O(rows * n^2) residual — 16 GB at 256^3); gradients
+    must match plain AD through logsumexp."""
+    rng = np.random.default_rng(0)
+    f = jnp.asarray((rng.random((7, 40)) * 10).astype(np.float32))
+    w2 = jnp.float32(1.3)
+    t = 0.4
+    cot = jnp.asarray(rng.random((7, 40)).astype(np.float32))
+
+    def ref_fn(f, w2):
+        i = jnp.arange(40, dtype=jnp.float32)
+        cost = f[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
+        return -t * jax.nn.logsumexp(-cost / t, axis=-1)
+
+    def custom_fn(f, w2):
+        return soft._minplus_soft(f, w2, t)
+
+    assert np.allclose(np.array(ref_fn(f, w2)), np.array(custom_fn(f, w2)))
+    ga = jax.grad(lambda f, w2: jnp.vdot(ref_fn(f, w2), cot), (0, 1))(f, w2)
+    gb = jax.grad(lambda f, w2: jnp.vdot(custom_fn(f, w2), cot), (0, 1))(f, w2)
+    assert np.allclose(np.array(ga[0]), np.array(gb[0]), atol=1e-5)
+    assert np.allclose(float(ga[1]), float(gb[1]), rtol=1e-4)
