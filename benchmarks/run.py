@@ -130,6 +130,21 @@ def main():
     results[f"soft_edtsq_fwd_bwd_{Ssoft}^3"] = {
         "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
 
+    # ---- softmin (temperature > 0, the smooth training mode) ----
+    def softmin_step(x, i):
+        o = x.at[0, 0, i].set(0.0)
+        g = jax.grad(
+            lambda oo: jnp.sum(
+                soft.soft_edtsq(oo, (1.0, 1.0, 1.0), black_border=True,
+                                barrier=float(3 * Ssoft**2), temperature=0.3)
+            )
+        )(o)
+        return g[1, 1, 1]
+
+    dt = chain_timer(softmin_step, args.iters)(occ)
+    results[f"softmin_t0.3_fwd_bwd_{Ssoft}^3"] = {
+        "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
+
     # ---- per-label extraction (SNEMI3D-like: 512x512x100, ~300 labels) ----
     shape = (min(S, 512), min(S, 512), 100)
     nl = rng.integers(1, 335, size=(shape[0] // 32, shape[1] // 32, shape[2] // 20))

@@ -282,6 +282,12 @@ def soft_edtsq(occupancy, anisotropy, black_border=False, barrier=None,
     Differentiable w.r.t. occupancy. With binary occupancy and the default
     barrier this matches the hard binary edtsq wherever the hard result is
     finite, and returns ~barrier where it is infinite.
+
+    For TRAINING, pick ``barrier`` near the distance scale the loss cares
+    about rather than the (deliberately huge) default: with black_border
+    the h-independent wall parabolas cap every distance, and a barrier far
+    above that cap leaves gradients exponentially suppressed at
+    temperature > 0 (and exactly zero at temperature == 0).
     """
     if barrier is None:
         barrier = default_barrier(occupancy.shape, anisotropy)
