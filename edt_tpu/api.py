@@ -156,9 +156,12 @@ def edtsq(
     anisotropy = _normalize_anisotropy(anisotropy, dims)
 
     # binary reduction happens before dispatch so every branch (device,
-    # host fallback, voxel graph) sees the same foreground mask
+    # host fallback) sees the same foreground mask — EXCEPT voxel_graph,
+    # whose foreground test differs for floats (negative labels are
+    # background there, reference edt_voxel_graph.hpp:145); the voxel-graph
+    # path applies its own reduction so the two always agree
     take_binary = bool(data.dtype == np.bool_) or binary
-    if binary and data.dtype != np.bool_:
+    if binary and data.dtype != np.bool_ and voxel_graph is None:
         data = data != 0
 
     if voxel_graph is not None:

@@ -178,9 +178,15 @@ def _soft_bwd_impl(f, w2, d, g, t):
     return df.reshape(-1, n)[:R], jnp.sum(dw2)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _make_minplus_soft(t):
-    """Softmin-plus with O(rows * n) residuals; t is a static float."""
+    """Softmin-plus with O(rows * n) residuals; t is a static float.
+
+    Each distinct temperature compiles its own closure (and jit trace), so
+    annealing schedules should quantize t to a modest set of values; the
+    cache is bounded so an unquantized schedule degrades to recompiles
+    rather than unbounded memory growth.
+    """
 
     @jax.custom_vjp
     def msoft(f, w2):

@@ -14,9 +14,6 @@ O(N) bookkeeping belongs on the host, not the TPU).
 
 from __future__ import annotations
 
-import operator
-from functools import reduce
-
 import numpy as np
 
 try:  # optional native backend
@@ -28,29 +25,21 @@ except Exception:  # pragma: no cover - absence is a supported configuration
 def reshape(arr, shape, order=None):
     """View ``arr`` with a new shape without copying when contiguous.
 
-    Mirrors reference edt.pyx:851-879 (stride-trick reshape).
+    Capability parity with the reference's stride-trick reshape
+    (edt.pyx:851-879), realized differently: when the array is contiguous
+    in ``order`` (detected from its flags if not given), NumPy's own
+    ``reshape(order=...)`` already returns a writable view over the same
+    memory — no manual stride arithmetic needed. Non-contiguous arrays
+    fall back to a plain (copying) reshape.
     """
     if order is None:
-        if arr.flags["F_CONTIGUOUS"]:
+        if arr.flags.f_contiguous and not arr.flags.c_contiguous:
             order = "F"
-        elif arr.flags["C_CONTIGUOUS"]:
+        elif arr.flags.c_contiguous:
             order = "C"
         else:
             return arr.reshape(shape)
-
-    nbytes = np.dtype(arr.dtype).itemsize
-
-    if order == "C":
-        strides = [
-            reduce(operator.mul, shape[i:]) * nbytes for i in range(1, len(shape))
-        ]
-        strides += [nbytes]
-    else:
-        strides = [
-            reduce(operator.mul, shape[:i]) * nbytes for i in range(1, len(shape))
-        ]
-        strides = [nbytes] + strides
-    return np.lib.stride_tricks.as_strided(arr, shape=shape, strides=strides)
+    return arr.reshape(shape, order=order)
 
 
 def _flat_memory_order(arr):
@@ -152,40 +141,57 @@ def transfer(runs_, src, dest):
     return dest
 
 
-def each(labels, dt, in_place=False):
-    """Iterator of (label, image) where image holds only that label's dt.
+class _EachView:
+    """Sized iterable of (label, image) pairs for :func:`each`.
 
-    Mirrors reference edt.each (edt.pyx:950-994), including the
-    read-only-yield semantics of in_place=True.
+    ``fg_runs`` maps each nonzero label to its run list; iteration order is
+    ascending label (inherited from :func:`runs`). With ``in_place`` one
+    buffer is reused: it is yielded read-only and scrubbed back to zero
+    after the consumer advances (even if iteration stops via an exception),
+    so only the current label's distances are ever visible in it.
     """
-    all_runs = runs(labels)
-    order = "F" if labels.flags.f_contiguous else "C"
-    dtype = np.float32
 
-    class ImageIterator:
-        def __len__(self):
-            return len(all_runs) - int(0 in all_runs)
+    def __init__(self, shape, order, fg_runs, dt, in_place):
+        self._shape = shape
+        self._order = order
+        self._fg_runs = fg_runs
+        self._dt = dt
+        self._in_place = in_place
 
-        def __iter__(self):
-            for key, rns in all_runs.items():
-                if key == 0:
-                    continue
-                img = np.zeros(labels.shape, dtype=dtype, order=order)
-                transfer(rns, dt, img)
-                yield (key, img)
+    def __len__(self):
+        return len(self._fg_runs)
 
-    class InPlaceImageIterator(ImageIterator):
-        def __iter__(self):
-            img = np.zeros(labels.shape, dtype=dtype, order=order)
-            for key, rns in all_runs.items():
-                if key == 0:
-                    continue
-                transfer(rns, dt, img)
-                img.setflags(write=0)
-                yield (key, img)
-                img.setflags(write=1)
-                erase(rns, img)
+    def _blank(self):
+        return np.zeros(self._shape, dtype=np.float32, order=self._order)
 
-    if in_place:
-        return InPlaceImageIterator()
-    return ImageIterator()
+    def __iter__(self):
+        if not self._in_place:
+            for label, rns in self._fg_runs.items():
+                out = self._blank()
+                transfer(rns, self._dt, out)
+                yield label, out
+            return
+        shared = self._blank()
+        for label, rns in self._fg_runs.items():
+            transfer(rns, self._dt, shared)
+            shared.setflags(write=False)
+            try:
+                yield label, shared
+            finally:
+                shared.setflags(write=True)
+                erase(rns, shared)
+
+
+def each(labels, dt, in_place=False):
+    """Sized iterable of (label, image): each image holds only that label's
+    distances, full volume size, float32.
+
+    Capability parity with the reference's ``edt.each`` (edt.pyx:950-994
+    semantics: background label 0 skipped, image order follows the label
+    array's memory order, ``in_place=True`` reuses a single read-only
+    buffer).
+    """
+    labels = np.asarray(labels)
+    fg_runs = {k: r for k, r in runs(labels).items() if k != 0}
+    order = "F" if labels.flags.f_contiguous and not labels.flags.c_contiguous else "C"
+    return _EachView(labels.shape, order, fg_runs, dt, in_place)

@@ -142,3 +142,15 @@ def test_voxel_graph_negative_float_labels_background():
     graph = np.full((2, 2), 0xFF, np.uint8)
     out = edt.edtsq(labels, voxel_graph=graph, black_border=True)
     assert np.all(out[labels < 0] == 0)
+
+
+def test_voxel_graph_binary_negative_floats_stay_background():
+    """binary=True must not flip negative float labels to foreground on the
+    voxel-graph path (regression: the pre-dispatch `data != 0` reduction
+    disagreed with the voxel-graph `labels > 0` foreground test)."""
+    labels = np.array([[-1.0, -1.0, 2.0, 2.0]], np.float32).reshape(2, 2)
+    graph = np.full((2, 2), 0xFF, np.uint8)
+    plain = edt.edtsq(labels, voxel_graph=graph, black_border=True)
+    binary = edt.edtsq(labels, voxel_graph=graph, black_border=True, binary=True)
+    assert np.array_equal(plain, binary)
+    assert np.all(binary[labels < 0] == 0)
