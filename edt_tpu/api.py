@@ -29,6 +29,17 @@ from edt_tpu.utils import host_reference
 _DEVICE_MAX_AXIS = 8192
 
 
+def _shard_min_voxels() -> int:
+    """Volumes at least this big auto-shard over all devices (when > 1).
+
+    Default sits between the 512^3 single-chip sweet spot and the ~768^3
+    single-chip HBM ceiling; override with EDT_TPU_SHARD_MIN_VOXELS.
+    """
+    import os
+
+    return int(os.environ.get("EDT_TPU_SHARD_MIN_VOXELS", str(600 ** 3)))
+
+
 def _use_pallas():
     return compose.use_pallas_default()
 
@@ -179,14 +190,27 @@ def edtsq(
         # (reference binary_edt declares multi-label input unsupported,
         # edt.hpp:5-9 — we define it as nonzero == foreground).
         labels = _as_device_labels(data)
-        out = _edtsq_device(
-            jnp.asarray(labels),
-            jnp.asarray(anisotropy),
-            bool(black_border),
-            use_pallas=_use_pallas(),
-            binary=take_binary,
-            axis_order=_sorted_axis_order(anisotropy),
-        )
+        if (labels.ndim == 3 and labels.size >= _shard_min_voxels()
+                and len(jax.devices()) > 1):
+            # volumes beyond the single-chip ceiling shard over all devices
+            # (slab decomposition + all_to_all axis rotation); any shape is
+            # accepted — reference parity with edt.pyx:300-310, which is
+            # bounded only by RAM
+            from edt_tpu.parallel import sharded
+
+            out = sharded.edtsq_sharded_auto(
+                jnp.asarray(labels), anisotropy, bool(black_border),
+                binary=take_binary,
+            )
+        else:
+            out = _edtsq_device(
+                jnp.asarray(labels),
+                jnp.asarray(anisotropy),
+                bool(black_border),
+                use_pallas=_use_pallas(),
+                binary=take_binary,
+                axis_order=_sorted_axis_order(anisotropy),
+            )
         # writable host copy; order="C" matters: this environment's device
         # transport can hand back a non-contiguous ndarray view, and
         # downstream RLE extraction (each/runs) needs contiguity to use the

@@ -14,13 +14,32 @@ that are *entirely local* to a shard:
   inter-pass pool.join() barriers (edt.hpp:442-463).
 
 Labels travel through the same all_to_all so segment bounds are computed
-on complete rows. Everything is shard_map'd, so the whole transform jits
-into one XLA program with fused collectives.
+on complete rows (skipped on the binary fast path, which needs no labels).
+Everything is shard_map'd, so the whole transform jits into one XLA
+program with fused collectives.
+
+Shape-agnostic like the reference NumPy API (edt.pyx:300-310): arbitrary
+shapes are padded along the rotation axes (0 and 2) to mesh divisibility
+and cropped after. Padding preserves exact semantics:
+
+  * black_border=True pads with background (zeros). A background plane
+    just outside the volume IS the black border: the wall it induces sits
+    at exactly the same distance as the in-kernel border parabola, and
+    the extra padded border farther out can only produce larger
+    candidates.
+  * black_border=False pads by edge replication. Segments touching the
+    volume edge extend through the pad to the (still open) padded border,
+    so the INF open-border semantics survive; a padded candidate copies
+    the edge plane's post-pass values, so its cost f[edge] + w^2*(j-i)^2
+    is always >= the edge candidate it duplicates — results are
+    bit-identical to the unpadded transform.
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -30,23 +49,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from edt_tpu.ops import core
 
 
+def default_mesh(axis_name: str = "sp") -> Mesh:
+    """A 1-D mesh over every visible device."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
 def _local_passes(labels, f, anisotropy, black_border, axes, minplus_fn=None,
-                  parabolic_fn=None):
+                  parabolic_fn=None, binary=False):
     """Run parabolic passes along the given (local) axes."""
     for ax in axes:
         f = jnp.moveaxis(
             core.parabolic_pass_sq(
                 jnp.moveaxis(f, ax, -1),
-                jnp.moveaxis(labels, ax, -1),
+                jnp.moveaxis(f if binary else labels, ax, -1),
                 anisotropy[ax],
                 black_border,
                 minplus_fn=minplus_fn,
                 parabolic_fn=parabolic_fn,
+                binary=binary,
             ),
             -1,
             ax,
         )
     return f
+
+
+def _pad_rotation_axes(arr, nshards, black_border, pad_axes=(0, 2)):
+    """Pad ``arr`` so every rotation axis divides the mesh; see module doc."""
+    pads = tuple(
+        (0, (-arr.shape[a]) % nshards if a in pad_axes else 0)
+        for a in range(arr.ndim)
+    )
+    if not any(hi for _, hi in pads):
+        return arr
+    if black_border:
+        return jnp.pad(arr, pads)  # background = the black border itself
+    return jnp.pad(arr, pads, mode="edge")  # keeps open borders open
 
 
 def edtsq_sharded(
@@ -56,14 +94,19 @@ def edtsq_sharded(
     *,
     mesh: Mesh,
     axis_name: str = "sp",
+    binary: bool = False,
     minplus_fn=None,
     parabolic_fn=None,
 ) -> jax.Array:
     """Squared multi-label EDT of a 3-D volume sharded along axis 0.
 
     labels: (s0, s1, s2), logically global; will be (re)sharded as
-    P(axis_name, None, None). s0 and s2 must be divisible by the mesh size
-    (pad at the API layer if needed).
+    P(axis_name, None, None). Any shape is accepted — rotation axes are
+    padded to mesh divisibility and cropped after (exact; see module doc).
+
+    binary=True is the fast path for two-valued volumes (labels must
+    already be a foreground mask): no label collective, unmasked min-plus
+    (reference _binary_edt3dsq, edt.hpp:487-576).
     """
     nd = labels.ndim
     assert nd == 3, "sharded path is 3-D; lower dims fit on one chip"
@@ -73,10 +116,9 @@ def edtsq_sharded(
         parabolic_fn = compose.default_parabolic_fn()  # Pallas on TPU
     anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
     nshards = mesh.shape[axis_name]
-    if labels.shape[0] % nshards or labels.shape[2] % nshards:
-        raise ValueError(
-            f"shape {labels.shape} axes 0 and 2 must divide mesh size {nshards}"
-        )
+    s0, s1, s2 = labels.shape
+    labels = _pad_rotation_axes(labels, nshards, black_border)
+    cropped = labels.shape != (s0, s1, s2)
 
     @functools.partial(
         jax.shard_map,
@@ -93,34 +135,75 @@ def edtsq_sharded(
         )
         # Pass 2 (axis 1, local).
         f = _local_passes(lab, f, aniso, black_border, (1,), minplus_fn,
-                          parabolic_fn)
+                          parabolic_fn, binary)
         # Pass 3 (axis 0): rotate the sharded axis 0 -> 2 over ICI.
         f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0, tiled=True)
-        lab_r = lax.all_to_all(lab, axis_name, split_axis=2, concat_axis=0,
-                               tiled=True)
+        if binary:
+            lab_r = None  # binary pass needs no segment labels
+        else:
+            lab_r = lax.all_to_all(lab, axis_name, split_axis=2, concat_axis=0,
+                                   tiled=True)
         f = _local_passes(lab_r, f, aniso, black_border, (0,), minplus_fn,
-                          parabolic_fn)
+                          parabolic_fn, binary)
         # Rotate back.
         f = lax.all_to_all(f, axis_name, split_axis=0, concat_axis=2, tiled=True)
         return f
 
     sharding = NamedSharding(mesh, P(axis_name, None, None))
     labels = jax.device_put(labels, sharding)
-    return run(labels, anisotropy)
+    out = run(labels, anisotropy)
+    if cropped:
+        out = out[:s0, :, :s2]
+    return out
+
+
+def edtsq_sharded_auto(labels, anisotropy, black_border=False, *, mesh=None,
+                       axis_name="sp", binary=False, minplus_fn=None,
+                       parabolic_fn=None):
+    """Anisotropy-sorted sharded transform over the default (or given) mesh.
+
+    Transposes the volume so pass order matches the single-chip API's
+    ascending-pitch order (api._sorted_axis_order): the cheapest-pitch axis
+    takes the RP pass and the largest-pitch axis is the sharded/rotated
+    one, so later parabolic passes see the smallest candidate radii — the
+    same ~2x win the single-chip path gets on anisotropic volumes.
+    """
+    if mesh is None:
+        mesh = default_mesh(axis_name)
+    anis = np.asarray(anisotropy, np.float32).reshape(3)
+    order = sorted(range(3), key=lambda a: (float(anis[a]), -a))
+    perm = (order[2], order[1], order[0])  # sharded axis 0 = largest pitch
+    if perm == (0, 1, 2):
+        return edtsq_sharded(labels, anis, black_border, mesh=mesh,
+                             axis_name=axis_name, binary=binary,
+                             minplus_fn=minplus_fn, parabolic_fn=parabolic_fn)
+    out = edtsq_sharded(
+        jnp.transpose(labels, perm), anis[list(perm)], black_border,
+        mesh=mesh, axis_name=axis_name, binary=binary,
+        minplus_fn=minplus_fn, parabolic_fn=parabolic_fn,
+    )
+    inv = tuple(int(i) for i in np.argsort(perm))
+    return jnp.transpose(out, inv)
 
 
 def edtsq_voxel_graph_sharded(
     labels, graph, anisotropy, black_border=False, *, mesh, axis_name="sp",
     minplus_fn=None,
 ):
-    """Voxel-connectivity-graph EDT, sharded along axis 0.
+    """Voxel-connectivity-graph EDT, sharded along axis 0, any shape.
 
     The 2x upsampling (reference edt_voxel_graph.hpp:120-214) is performed
     per shard — interleaving a slab along its own axes is globally
     consistent when shard boundaries align with voxel boundaries — so the
-    8x-memory doubled volume never exists unsharded. black_border's
-    last-plane zeroing along the sharded axis is applied only on the last
-    shard. "x" is the last array axis here (C-order convention).
+    8x-memory doubled volume never exists unsharded. Axis 0 is padded to
+    mesh divisibility before doubling (zeros under black_border — the
+    reference's own border treatment; edge replication otherwise, which
+    copies the edge voxel's graph bits so the doubled pad reproduces the
+    open-border site values exactly). black_border's zeroing of the
+    duplicated tail planes (edt_voxel_graph.hpp:156-187) targets the
+    *original* volume's last doubled plane per axis, which under padding
+    lives on a known shard/offset. "x" is the last array axis (C-order
+    convention).
     """
     from edt_tpu.ops.voxel_graph import doubled_3d_jnp
 
@@ -128,6 +211,15 @@ def edtsq_voxel_graph_sharded(
     assert nd == 3
     anisotropy = jnp.asarray(anisotropy, jnp.float32).reshape(nd)
     nshards = mesh.shape[axis_name]
+    s0, s1, s2 = labels.shape
+    p0 = (-s0) % nshards
+    if p0:
+        mode = "constant" if black_border else "edge"
+        labels = jnp.pad(labels, ((0, p0), (0, 0), (0, 0)), mode=mode)
+        graph = jnp.pad(graph, ((0, p0), (0, 0), (0, 0)), mode=mode)
+    # location of the original last doubled plane along axis 0 (static)
+    local0 = 2 * (s0 + p0) // nshards
+    tail_shard, tail_off = divmod(2 * s0 - 1, local0)
 
     @functools.partial(
         jax.shard_map,
@@ -140,14 +232,15 @@ def edtsq_voxel_graph_sharded(
             fg = (lab > 0).astype(jnp.uint8)  # reference: negative floats = bg
         else:
             fg = (lab != 0).astype(jnp.uint8)
-        is_last = lax.axis_index(axis_name) == nshards - 1
         D = doubled_3d_jnp(fg, g.astype(jnp.uint8), False)
         if black_border:
-            D = D.at[:, :, -1].set(0)
-            D = D.at[:, -1, :].set(0)
-            D = jnp.where(
-                is_last, D.at[-1, :, :].set(0), D
-            )
+            # zero the duplicated last plane of the ORIGINAL volume per
+            # axis (axes 1/2 are local and unpadded; axis 0 may sit inside
+            # an earlier shard when padded)
+            D = D.at[:, :, 2 * s2 - 1].set(0)
+            D = D.at[:, 2 * s1 - 1, :].set(0)
+            on_tail = lax.axis_index(axis_name) == tail_shard
+            D = jnp.where(on_tail, D.at[tail_off, :, :].set(0), D)
         return D
 
     sharding = NamedSharding(mesh, P(axis_name, None, None))
@@ -156,17 +249,18 @@ def edtsq_voxel_graph_sharded(
     doubled = build(labels, graph)
     d2 = edtsq_sharded(
         doubled, anisotropy / 2.0, black_border, mesh=mesh,
-        axis_name=axis_name, minplus_fn=minplus_fn,
+        axis_name=axis_name, binary=True, minplus_fn=minplus_fn,
     )
-    return d2[::2, ::2, ::2]
+    return d2[: 2 * s0 : 2, ::2, ::2]
 
 
 def edt_sharded(labels, anisotropy, black_border=False, *, mesh,
-                axis_name="sp", minplus_fn=None, parabolic_fn=None):
+                axis_name="sp", binary=False, minplus_fn=None,
+                parabolic_fn=None):
     return jnp.sqrt(
         edtsq_sharded(labels, anisotropy, black_border, mesh=mesh,
-                      axis_name=axis_name, minplus_fn=minplus_fn,
-                      parabolic_fn=parabolic_fn)
+                      axis_name=axis_name, binary=binary,
+                      minplus_fn=minplus_fn, parabolic_fn=parabolic_fn)
     )
 
 
@@ -175,5 +269,6 @@ def sdf_sharded(labels, anisotropy, black_border=False, *, mesh,
     fg = edt_sharded(labels, anisotropy, black_border, mesh=mesh,
                      axis_name=axis_name, minplus_fn=minplus_fn)
     bg = edt_sharded((labels == 0).astype(jnp.uint8), anisotropy, black_border,
-                     mesh=mesh, axis_name=axis_name, minplus_fn=minplus_fn)
+                     mesh=mesh, axis_name=axis_name, binary=True,
+                     minplus_fn=minplus_fn)
     return fg - bg

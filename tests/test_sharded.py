@@ -54,10 +54,87 @@ def test_sharded_sdf():
     assert np.allclose(np.array(out), np.array(single))
 
 
-def test_indivisible_shape_raises():
-    labels = jnp.zeros((7, 4, 8), jnp.uint32)
-    with pytest.raises(ValueError):
-        edtsq_sharded(labels, (1.0, 1.0, 1.0), False, mesh=_mesh(4))
+@pytest.mark.parametrize("shape", [(7, 4, 8), (13, 9, 11), (5, 3, 6)])
+@pytest.mark.parametrize("black_border", [True, False])
+def test_sharded_arbitrary_shapes(shape, black_border):
+    """Any shape shards (pad + crop), matching the single-device result
+    bit-for-bit — parity with the reference's shape-agnostic API
+    (edt.pyx:300-310)."""
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    labels = rng.integers(0, 4, size=shape).astype(np.uint32)
+    single = np.array(compose.edtsq(
+        jnp.asarray(labels), jnp.ones(3, jnp.float32), black_border
+    ))
+    out = np.array(edtsq_sharded(
+        jnp.asarray(labels), (1.0, 1.0, 1.0), black_border, mesh=_mesh(4)
+    ))
+    finite = np.isfinite(single)
+    assert np.array_equal(np.isfinite(out), finite)
+    assert np.array_equal(out[finite], single[finite])
+
+
+@pytest.mark.parametrize("black_border", [True, False])
+def test_sharded_binary_fast_path(black_border):
+    """binary=True (no label collective, unmasked min-plus) must equal the
+    masked multi-label result on a foreground mask."""
+    rng = np.random.default_rng(7)
+    mask = (rng.random((11, 6, 13)) > 0.4).astype(np.uint8)
+    mesh = _mesh(4)
+    masked = np.array(edtsq_sharded(
+        jnp.asarray(mask), (1.0, 2.0, 3.0), black_border, mesh=mesh
+    ))
+    fast = np.array(edtsq_sharded(
+        jnp.asarray(mask), (1.0, 2.0, 3.0), black_border, mesh=mesh,
+        binary=True,
+    ))
+    finite = np.isfinite(masked)
+    assert np.array_equal(np.isfinite(fast), finite)
+    assert np.array_equal(fast[finite], masked[finite])
+
+
+@pytest.mark.parametrize("black_border", [True, False])
+def test_sharded_auto_anisotropy_order(black_border):
+    """The auto wrapper transposes so the largest-pitch axis is the sharded
+    one; results must match the single-device transform exactly."""
+    from edt_tpu.parallel import edtsq_sharded_auto
+
+    rng = np.random.default_rng(11)
+    labels = rng.integers(0, 5, size=(10, 7, 9)).astype(np.uint32)
+    anis = (30.0, 6.0, 13.0)
+    single = np.array(compose.edtsq(
+        jnp.asarray(labels), jnp.asarray(anis, jnp.float32), black_border
+    ))
+    out = np.array(edtsq_sharded_auto(
+        jnp.asarray(labels), anis, black_border, mesh=_mesh(4)
+    ))
+    finite = np.isfinite(single)
+    assert np.array_equal(np.isfinite(out), finite)
+    assert np.allclose(out[finite], single[finite], rtol=1e-6)
+
+
+def test_api_auto_shard_dispatch(monkeypatch):
+    """api.edtsq auto-shards volumes past the single-chip ceiling when more
+    than one device exists, transparently (same values, any shape)."""
+    import edt_tpu as edt
+    from edt_tpu import api
+
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 4, size=(17, 9, 14)).astype(np.uint32)
+    want = edt.edtsq(labels, anisotropy=(4.0, 1.0, 2.0), black_border=True)
+    monkeypatch.setenv("EDT_TPU_SHARD_MIN_VOXELS", "1")
+    assert api._shard_min_voxels() == 1
+    got = edt.edtsq(labels, anisotropy=(4.0, 1.0, 2.0), black_border=True)
+    assert np.array_equal(want, got)
+
+    mask = rng.random((9, 12, 10)) > 0.5
+    want_b = edt.edtsq(np.asarray(mask))
+    monkeypatch.delenv("EDT_TPU_SHARD_MIN_VOXELS")
+    got_b = edt.edtsq(np.asarray(mask))
+    finite = np.isfinite(got_b)
+    monkeypatch.setenv("EDT_TPU_SHARD_MIN_VOXELS", "1")
+    want_b2 = edt.edtsq(np.asarray(mask))
+    assert np.array_equal(np.isfinite(want_b2), finite)
+    assert np.array_equal(want_b2[finite], want_b[finite])
 
 
 def test_sharded_soft_grad():
@@ -105,6 +182,29 @@ def test_sharded_voxel_graph():
         mesh=_mesh(4),
     )
     assert np.allclose(np.array(out), single)
+
+
+@pytest.mark.parametrize("shape", [(7, 5, 6), (9, 4, 7)])
+@pytest.mark.parametrize("black_border", [True, False])
+def test_sharded_voxel_graph_arbitrary_shapes(shape, black_border):
+    """Voxel-graph sharding pads axis 0 before doubling; black_border's
+    duplicated-tail-plane zeroing must hit the ORIGINAL volume's last
+    doubled plane even when it lands inside an earlier shard."""
+    from edt_tpu.parallel import edtsq_voxel_graph_sharded
+    import edt_tpu as edt
+
+    rng = np.random.default_rng(shape[0])
+    labels = rng.integers(0, 2, size=shape).astype(np.uint32) + 1
+    labels[rng.random(shape) < 0.15] = 0
+    graph = rng.integers(0, 64, size=shape).astype(np.uint8)
+    single = edt.edtsq(labels, voxel_graph=graph, black_border=black_border)
+    out = np.array(edtsq_voxel_graph_sharded(
+        jnp.asarray(labels), jnp.asarray(graph), (1.0, 1.0, 1.0),
+        black_border, mesh=_mesh(4),
+    ))
+    finite = np.isfinite(single)
+    assert np.array_equal(np.isfinite(out), finite)
+    assert np.allclose(out[finite], single[finite])
 
 
 def test_dryrun_entry():
