@@ -188,16 +188,31 @@ def _make_minplus_soft(t):
     rather than unbounded memory growth.
     """
 
-    @jax.custom_vjp
-    def msoft(f, w2):
+    def _fwd_impl(f, w2):
+        # Pallas on TPU: hard-min phase + shifted exp accumulation, pruned
+        # to the contributing radius (pallas_kernels.softmin_pallas);
+        # matches the exact logsumexp to f32 round-off. jnp elsewhere.
+        if _use_pallas():
+            from edt_tpu.ops import pallas_kernels
+
+            return pallas_kernels.softmin_pallas(f, w2, t)
         return _soft_fwd_impl(f, w2, t)
 
+    @jax.custom_vjp
+    def msoft(f, w2):
+        return _fwd_impl(f, w2)
+
     def fwd(f, w2):
-        d = _soft_fwd_impl(f, w2, t)
+        d = _fwd_impl(f, w2)
         return d, (f, w2, d)
 
     def bwd(res, g):
         f, w2, d = res
+        if _use_pallas():
+            from edt_tpu.ops import pallas_kernels
+
+            df, e = pallas_kernels.softmin_grad_pallas(f, d, g, w2, t)
+            return df, jnp.sum(g * e)
         return _soft_bwd_impl(f, w2, d, g, t)
 
     msoft.defvjp(fwd, bwd)

@@ -45,6 +45,22 @@ TILE = 128
 _INF = float("inf")
 
 
+def _radius_gap(bound_row, minf_row):
+    """Scalar radius bound: max over rows of (bound - minf), sanitized.
+
+    All-INF rows (padding / fully-open rows) contribute 0 — any radius is
+    correct for them since every candidate is INF; rows with an infinite
+    bound over finite candidates force a full scan.
+    """
+    gap = bound_row - minf_row
+    gap = jnp.where(
+        jnp.isfinite(gap),
+        jnp.maximum(gap, 0.0),
+        jnp.where(minf_row == _INF, 0.0, _INF),
+    )
+    return jnp.max(gap)
+
+
 HALO = TILE  # INF halo around the scan axis enabling unaligned banded loads
 BAND_MAX_R = 16  # banded branch chosen when the pruning radius <= this
 # (measured v5e crossover: the rolling-window band beats a 128-candidate
@@ -100,13 +116,22 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
     jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
     dmat = (jj - ii).astype(F32)
 
+    # Per-row floor of f (the INF halo/padding cannot lower it): within a
+    # row, every winner j* has f[j*] >= minf_row, so w2 (i - j*)^2 =
+    # d_i - f[j*] <= bound_row - minf_row — far tighter than bound/w2
+    # whenever rows carry a large additive floor. The large-distance
+    # regime (e.g. an all-ones cube, where later passes see near-constant
+    # rows) collapses from a full tiled scan to radius ~1. Kept per-row
+    # (not per-block) because a block's 32 rows can span very different
+    # floors; only the final max is a scalar.
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)  # (block_rows, 1)
+
     def per_target_tile(it, _):
         i0 = it * TILE
         f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
         gi = lanes + i0
-        fmax = jnp.max(f_i)
 
-        # --- pruning bound on the winning offset (scalar) ---
+        # --- pruning bound on the winning offset (per-row, then scalar) ---
         lwall = rwall = None
         if masked:
             ss_i = ss_ref[:, pl.ds(i0, TILE)]
@@ -116,7 +141,7 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
         else:
             seg_lo = jnp.int32(0)
             seg_hi = jnp.int32(n)
-        bound = fmax
+        bound = jnp.max(f_i, axis=1, keepdims=True)
         if walls and masked:
             li = (gi - ss_i + 1).astype(F32)
             ri = (se_i - gi).astype(F32)
@@ -128,15 +153,17 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
             # d_i <= min(f_i, wall_i), so the radius may use the tighter
             # max_i min(f_i, wall_i) — this also keeps the radius finite
             # when f still carries INF from open borders.
-            bound = jnp.max(jnp.minimum(f_i, jnp.minimum(lwall, rwall)))
+            bound = jnp.max(jnp.minimum(f_i, jnp.minimum(lwall, rwall)),
+                            axis=1, keepdims=True)
         elif walls and black_border:
             # binary + black border: the whole-row border parabolas bound
             # d_i too, so border tiles get small radii (banded branch)
             bli = (gi + 1).astype(F32)
             bri = (n_real - gi).astype(F32)
             bwall = w2 * jnp.minimum(bli * bli, bri * bri)
-            bound = jnp.max(jnp.minimum(f_i, bwall))
-        radius_f = jnp.sqrt(bound / w2)
+            bound = jnp.max(jnp.minimum(f_i, bwall), axis=1, keepdims=True)
+        gap = _radius_gap(bound, minf_row)
+        radius_f = jnp.sqrt(gap / w2)
         radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
 
         acc0 = jnp.full((block_rows, TILE), _INF, F32)
@@ -291,6 +318,11 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
 
     ilanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
+    # Per-row f floor: winners (and all their ties) satisfy
+    # w2 (i - j)^2 <= dhat_i - minf_row (see _minplus_kernel) — on barrier-
+    # height fields this collapses solid regions to the banded branch.
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+
     def per_target_tile(it, _):
         i0 = it * TILE
         f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
@@ -321,8 +353,8 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
         # clamp: padded-halo winners only occur for all-INF rows
         ahat = jnp.clip(ahat, 0, n - 1)
 
-        bound = jnp.max(dhat)
-        radius = jnp.minimum(jnp.sqrt(bound / w2), jnp.float32(n)).astype(I32) + 1
+        gap = _radius_gap(jnp.max(dhat, axis=1, keepdims=True), minf_row)
+        radius = jnp.minimum(jnp.sqrt(gap / w2), jnp.float32(n)).astype(I32) + 1
 
         def banded_done(_):
             return dhat, ahat
@@ -491,6 +523,290 @@ def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS):
         interpret=interpret,
     )(gp, ap)
     return out[:R, :n]
+
+
+# ---------------------------------------------------------------------------
+# Softmin-plus (temperature > 0) — the smooth training mode of
+# edt_tpu.models.soft. d[i] = -t * log sum_j exp(-(f[j] + w2 (i-j)^2)/t).
+# Evaluated as dmin - t * log sum_j exp(-(cost - dmin)/t): the hard min
+# first (reusing the radius-pruned banded/tiled machinery), then a shifted
+# exp accumulation. Terms with cost - dmin > SOFT_CUT*t are dropped: the
+# sum is >= 1 (the winning j contributes exp(0)), so exp(-30) ~ 9e-14 sits
+# far below f32 resolution of the accumulator — results match the exact
+# O(n^2) logsumexp to f32 round-off. The contributing radius follows the
+# same floor argument as the hard kernel: a term needs
+# w2 (i-j)^2 <= d_i + SOFT_CUT*t - f_j <= max(dmin) + SOFT_CUT*t - minf.
+# ---------------------------------------------------------------------------
+
+SOFT_CUT = 30.0
+
+
+def _softmin_kernel(w2_ref, t_ref, f_ref, out_ref, *, n_tiles, block_rows,
+                    band_r=BAND_MAX_R):
+    w2 = w2_ref[0]
+    t = t_ref[0]
+    invt = 1.0 / t
+    n = n_tiles * TILE
+
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (jj - ii).astype(F32)  # [j, i] = i - j
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
+
+        # --- phase A: hard min dmin (banded probe, tiled fallback) ---
+        R0 = band_r
+        w0 = f_ref[:, pl.ds(HALO + i0 - TILE, TILE)]
+        w2t = f_ref[:, pl.ds(HALO + i0 + TILE, TILE)]
+        wide0 = jnp.concatenate([w0, f_i, w2t], axis=1)
+        wide = pltpu.roll(wide0, 2 * TILE + R0, axis=1)  # left by TILE - R0
+        dhat = jnp.full(f_i.shape, _INF, F32)
+        for k in range(2 * R0 + 1):
+            kk = jnp.float32(k - R0)
+            dhat = jnp.minimum(dhat, wide[:, :TILE] + w2 * (kk * kk))
+            wide = pltpu.roll(wide, 3 * TILE - 1, axis=1)
+
+        gap = _radius_gap(jnp.max(dhat, axis=1, keepdims=True), minf_row)
+        radius = jnp.minimum(jnp.sqrt(gap / w2), jnp.float32(n)).astype(I32) + 1
+
+        def band_done(_):
+            return dhat
+
+        def tiled_min(_):
+            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_candidate_tile(jt, acc):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                d = dmat + (i0 - j0).astype(F32)
+                cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
+                return jnp.minimum(acc, jnp.min(cost, axis=1))
+
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, dhat)
+
+        dmin = lax.cond(radius <= R0, band_done, tiled_min, 0)
+
+        # --- phase B: shifted exp accumulation within the soft radius ---
+        gap_s = _radius_gap(
+            jnp.max(dmin, axis=1, keepdims=True) + SOFT_CUT * t, minf_row
+        )
+        radius_s = jnp.minimum(jnp.sqrt(gap_s / w2),
+                               jnp.float32(n)).astype(I32) + 1
+
+        s0 = jnp.zeros((block_rows, TILE), F32)
+
+        def banded_exp(s):
+            wideb = pltpu.roll(wide0, 2 * TILE + radius_s, axis=1)
+
+            def body(k, carry):
+                s, win = carry
+                kk = (k - radius_s).astype(F32)
+                cost = win[:, :TILE] + w2 * (kk * kk)
+                s = s + jnp.exp((dmin - cost) * invt)
+                return s, pltpu.roll(win, 3 * TILE - 1, axis=1)
+
+            s, _ = lax.fori_loop(0, 2 * radius_s + 1, body, (s, wideb))
+            return s
+
+        def tiled_exp(s):
+            jt_lo = jnp.maximum((i0 - radius_s) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + radius_s + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_candidate_tile(jt, s):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                d = dmat + (i0 - j0).astype(F32)
+                cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
+                p = jnp.exp((dmin[:, None, :] - cost) * invt)
+                return s + jnp.sum(p, axis=1)
+
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, s)
+
+        # banded window reaches at most TILE either side (3-tile concat)
+        s = lax.cond(radius_s <= TILE, banded_exp, tiled_exp, s0)
+        # all-INF rows (padding): dmin = INF, s = 0 -> keep INF
+        d = jnp.where(s > 0, dmin - t * jnp.log(s), dmin)
+        out_ref[:, pl.ds(i0, TILE)] = d
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def softmin_pallas(f, w2, t, interpret=False, block_rows=MP_BLOCK_ROWS):
+    """(R, n) f32 -> softmin-plus along rows at temperature t (> 0)."""
+    R, n = f.shape
+    n_tiles = max(1, -(-n // TILE))
+    Rp = -(-R // block_rows) * block_rows
+    np_ = n_tiles * TILE
+
+    fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
+    w2v = jnp.asarray(w2, F32).reshape(1)
+    tv = jnp.asarray(t, F32).reshape(1)
+
+    row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+                          memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_softmin_kernel, n_tiles=n_tiles,
+                          block_rows=block_rows),
+        grid=(Rp // block_rows,),
+        in_specs=[scalar_spec, scalar_spec, f_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        interpret=interpret,
+    )(w2v, tv, fp)
+    return out[:R, :n]
+
+
+def _softmin_grad_kernel(w2_ref, t_ref, f_ref, d_ref, g_ref, df_ref, e_ref,
+                         *, n_tiles, block_rows):
+    """df[j] = sum_i g_i p_ij and e[i] = sum_j p_ij quad_ij for
+    p_ij = exp(-(f_j + w2 (i-j)^2 - d_i)/t) (softmax weights, which sum to
+    1 over j). dw2 = sum_i g_i e_i is reduced by the caller. One sweep over
+    (j-tile, i-tile) pairs accumulates both: df into the current j tile,
+    e via read-modify-write into the visited i tiles."""
+    w2 = w2_ref[0]
+    t = t_ref[0]
+    invt = 1.0 / t
+    n = n_tiles * TILE
+
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (ii - jj).astype(F32)  # [i, j] = i - j
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+    # per-row max of real d (padding is -INF so it cannot raise the max)
+    maxd_row = jnp.max(d_ref[:, :], axis=1, keepdims=True)
+    gap = _radius_gap(maxd_row + SOFT_CUT * t, minf_row)
+    radius = jnp.minimum(jnp.sqrt(gap / w2), jnp.float32(n)).astype(I32) + 1
+
+    def _win3(ref, c0):
+        """3-tile window rotated so [i, :TILE] starts at c0 - radius."""
+        a = ref[:, pl.ds(HALO + c0 - TILE, TILE)]
+        b = ref[:, pl.ds(HALO + c0, TILE)]
+        c = ref[:, pl.ds(HALO + c0 + TILE, TILE)]
+        return pltpu.roll(jnp.concatenate([a, b, c], axis=1),
+                          2 * TILE + radius, axis=1)
+
+    def banded_all(_):
+        # two rolling-window sweeps per tile: df is j-major (sources
+        # i = j + k), e is i-major (sources j = i + k); each pays one
+        # (rows, TILE) exp per offset — O(radius)/voxel instead of the
+        # >=128-candidates-per-voxel tile pairs below.
+        def per_tile(jt, _):
+            j0 = jt * TILE
+            f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+            d_j = d_ref[:, pl.ds(HALO + j0, TILE)]
+            gw0 = _win3(g_ref, j0)
+            dw0 = _win3(d_ref, j0)
+            fw0 = _win3(f_ref, j0)
+
+            def body(k, carry):
+                acc_df, acc_e, gw, dw, fw = carry
+                kk = (k - radius).astype(F32)
+                qk = kk * kk
+                wq = w2 * qk
+                p_df = jnp.exp((dw[:, :TILE] - f_j - wq) * invt)
+                acc_df = acc_df + gw[:, :TILE] * p_df
+                p_e = jnp.exp((d_j - fw[:, :TILE] - wq) * invt)
+                acc_e = acc_e + qk * p_e
+                roll1 = lambda x: pltpu.roll(x, 3 * TILE - 1, axis=1)
+                return acc_df, acc_e, roll1(gw), roll1(dw), roll1(fw)
+
+            z = jnp.zeros((block_rows, TILE), F32)
+            acc_df, acc_e, *_ = lax.fori_loop(
+                0, 2 * radius + 1, body, (z, z, gw0, dw0, fw0))
+            df_ref[:, pl.ds(j0, TILE)] = acc_df
+            e_ref[:, pl.ds(j0, TILE)] = acc_e
+            return 0
+
+        lax.fori_loop(0, n_tiles, per_tile, 0)
+        return 0
+
+    def tiled_all(_):
+        def zero_tile(k, _):
+            z = jnp.zeros((block_rows, TILE), F32)
+            df_ref[:, pl.ds(k * TILE, TILE)] = z
+            e_ref[:, pl.ds(k * TILE, TILE)] = z
+            return 0
+
+        lax.fori_loop(0, n_tiles, zero_tile, 0)
+
+        def per_j_tile(jt, _):
+            j0 = jt * TILE
+            f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+            it_lo = jnp.maximum((j0 - radius) // TILE, 0)
+            it_hi = jnp.minimum((j0 + TILE + radius + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_i_tile(it, acc_df):
+                i0 = it * TILE
+                d_i = d_ref[:, pl.ds(HALO + i0, TILE)]
+                g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
+                dd = dmat + (i0 - j0).astype(F32)
+                qq = dd * dd  # [i, j] = (i - j)^2 — d(cost)/d(w2)
+                p = jnp.exp(
+                    (d_i[:, :, None] - f_j[:, None, :]
+                     - (w2 * qq)[None, :, :]) * invt
+                )
+                acc_df = acc_df + jnp.sum(g_i[:, :, None] * p, axis=1)
+                e_ref[:, pl.ds(i0, TILE)] += jnp.sum(p * qq[None, :, :],
+                                                     axis=2)
+                return acc_df
+
+            acc = lax.fori_loop(it_lo, it_hi, per_i_tile,
+                                jnp.zeros((block_rows, TILE), F32))
+            df_ref[:, pl.ds(j0, TILE)] = acc
+            return 0
+
+        lax.fori_loop(0, n_tiles, per_j_tile, 0)
+        return 0
+
+    lax.cond(radius <= TILE, banded_all, tiled_all, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def softmin_grad_pallas(f, d, g, w2, t, interpret=False,
+                        block_rows=MP_BLOCK_ROWS):
+    """VJP for softmin_pallas: returns (df, e) with e[i] = E_p[quad] so the
+    caller reduces dw2 = sum(g * e)."""
+    R, n = f.shape
+    n_tiles = max(1, -(-n // TILE))
+    Rp = -(-R // block_rows) * block_rows
+    np_ = n_tiles * TILE
+
+    fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
+    dp = _pad_to(d.astype(F32), Rp, np_, -_INF, halo=HALO)
+    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=HALO)
+    w2v = jnp.asarray(w2, F32).reshape(1)
+    tv = jnp.asarray(t, F32).reshape(1)
+
+    row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    df, e = pl.pallas_call(
+        functools.partial(_softmin_grad_kernel, n_tiles=n_tiles,
+                          block_rows=block_rows),
+        grid=(Rp // block_rows,),
+        in_specs=[scalar_spec, scalar_spec, halo_spec, halo_spec, halo_spec],
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((Rp, np_), F32),
+                   jax.ShapeDtypeStruct((Rp, np_), F32)),
+        interpret=interpret,
+    )(w2v, tv, fp, dp, gp)
+    return df[:R, :n], e[:R, :n]
 
 
 def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,

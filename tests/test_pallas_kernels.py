@@ -118,6 +118,64 @@ def test_argmin_kernel_matches_jnp():
         assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1)))
 
 
+def _soft_cases():
+    """Random, barrier-height, and mixed fields (the soft-EDT regimes)."""
+    cases = []
+    rng = np.random.default_rng(0)
+    f = (rng.random((9, 300)) * 50).astype(np.float32)
+    f[rng.random((9, 300)) > 0.6] = 0.0
+    cases.append((f, 1.3, 0.7))
+    barrier = (np.random.default_rng(1).random((7, 260)) > 0.5).astype(
+        np.float32) * 2000.0
+    cases.append((barrier, 2.0, 5.0))
+    smooth = np.abs(np.sin(np.arange(280) / 9.0))[None] * 40.0
+    cases.append((np.repeat(smooth, 8, 0).astype(np.float32), 0.49, 0.3))
+    # huge contributing radius (> row length): forces the tiled branches
+    wide = (np.random.default_rng(2).random((6, 270)) > 0.5).astype(
+        np.float32) * 2e4
+    cases.append((wide, 0.01, 1.0))
+    return cases
+
+
+def test_softmin_kernel_matches_logsumexp():
+    """Softmin forward kernel == exact O(n^2) logsumexp to f32 round-off
+    (the SOFT_CUT-dropped terms sit below accumulator resolution)."""
+    for f, w2, t in _soft_cases():
+        fj = jnp.asarray(f)
+        n = f.shape[1]
+        i = jnp.arange(n, dtype=jnp.float32)
+        cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
+        ref = np.array(-t * jax.nn.logsumexp(-cost / t, axis=-1))
+        out = np.array(pk.softmin_pallas(fj, jnp.float32(w2), jnp.float32(t),
+                                         interpret=True))
+        assert np.allclose(out, ref, rtol=1e-5, atol=1e-4), (w2, t)
+
+
+def test_softmin_grad_kernel_matches_ad():
+    """Softmin backward kernel (df, dw2 via expected-quad) == jax AD through
+    the exact logsumexp."""
+    for f, w2, t in _soft_cases():
+        fj = jnp.asarray(f)
+        n = f.shape[1]
+        w2j = jnp.float32(w2)
+
+        def exact(fv, w2v):
+            i = jnp.arange(n, dtype=jnp.float32)
+            cost = fv[:, None, :] + w2v * (i[:, None] - i[None, :]) ** 2
+            return -t * jax.nn.logsumexp(-cost / t, axis=-1)
+
+        rng = np.random.default_rng(42)
+        g = jnp.asarray(rng.random(f.shape).astype(np.float32))
+        ref_df, ref_dw2 = jax.vjp(exact, fj, w2j)[1](g)
+        d = pk.softmin_pallas(fj, w2j, jnp.float32(t), interpret=True)
+        df, e = pk.softmin_grad_pallas(fj, d, g, w2j, jnp.float32(t),
+                                       interpret=True)
+        dw2 = jnp.sum(g * e)
+        assert np.allclose(np.array(df), np.array(ref_df),
+                           rtol=1e-4, atol=1e-4), (w2, t)
+        assert np.isclose(float(dw2), float(ref_dw2), rtol=1e-3), (w2, t)
+
+
 def test_grad_gather_kernel_matches_scatter():
     """Soft-path backward kernel: gather formulation == scatter-add,
     including rare long-range argmin links that force the tiled branch."""
