@@ -47,7 +47,8 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--section", default="all",
-                    choices=["all", "stages", "kernels", "full", "binary"])
+                    choices=["all", "stages", "kernels", "full", "binary",
+                             "roofline"])
     args = ap.parse_args()
     S, K = args.size, args.iters
     sec = args.section
@@ -99,6 +100,47 @@ def main():
             timed(f"FULL edtsq (parabolic_fn, band_r={band})",
                   lambda x, i, pf=pf: compose.edtsq(
                       x, anis, False, parabolic_fn=pf), lab, K)
+
+    if sec in ("all", "roofline"):
+        # "Speed of light" as numbers, not vibes: each stage's minimum HBM
+        # traffic is modeled from its array reads/writes; achieved GB/s vs
+        # the chip's HBM roof says how far from bandwidth-bound we run, and
+        # the implied VPU ops/voxel quantifies the compute side (the
+        # kernels are VPU-bound elementwise work — no MXU use by design).
+        # Roofs are overridable for other chips.
+        HBM_GBPS = float(os.environ.get("EDT_TPU_HBM_GBPS", "819"))  # v5e
+        # v5e VPU: 8x128 lanes x 4 ALUs x ~940 MHz ~ 3.9e12 f32 op/s
+        VPU_GOPS = float(os.environ.get("EDT_TPU_VPU_GOPS", "3900"))
+        vox = S ** 3
+        print(f"--- roofline (HBM roof {HBM_GBPS:.0f} GB/s, VPU roof "
+              f"{VPU_GOPS:.0f} Gop/s) ---")
+
+        def roof(label, dt, bytes_per_vox):
+            gbps = vox * bytes_per_vox / dt / 1e9
+            ns_per_vox = dt / vox * 1e9
+            ops = ns_per_vox * VPU_GOPS  # implied VPU ops/voxel at roof
+            print(f"{label:44s} {dt*1e3:8.2f} ms  {gbps:7.1f} GB/s "
+                  f"({100*gbps/HBM_GBPS:5.1f}% HBM roof)  "
+                  f"<= {ops:6.1f} VPU ops/vox")
+
+        dt = timed("pass1 RP (labels u32 -> f32)",
+                   lambda x, i: core.rp_pass_sq(x, jnp.float32(30.0), False),
+                   lab, K)
+        roof("  pass1", dt, 4 + 4)  # read labels, write f
+        pf = pk.make_parabolic_fn()
+        stacked = jnp.stack([f2d, lab2d.astype(jnp.float32)])
+
+        def pass_step(x, i):
+            return pf(x[0], x[1].astype(jnp.int32), w2, False, False)
+
+        dt = timed("one fused parabolic pass (f+labels -> d)", pass_step,
+                   stacked, K)
+        roof("  parabolic pass", dt, 4 + 4 + 4 + 8)  # f, labels, d, bounds
+        dt = timed("FULL edtsq 3 passes", lambda x, i: compose.edtsq(
+            x, anis, False, parabolic_fn=pf), lab, K)
+        # RP(8) + 2 transposed parabolic passes (~20 each incl. transpose
+        # round trips) — the minimum-traffic model for the whole transform
+        roof("  full edtsq", dt, 48)
 
     if sec in ("all", "binary"):
         # binary all-ones cube with black border (reference headline config)

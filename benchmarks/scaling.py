@@ -1,6 +1,23 @@
-"""Scaling benchmark: 1 -> N devices throughput of the sharded transform.
+"""Scaling benchmark: 1 chip -> 1 host -> N hosts throughput of the
+sharded transform.
 
-Usage: python benchmarks/scaling.py [--size 256]
+Single-process (default): meshes over 1..K local devices.
+  python benchmarks/scaling.py [--size 256]
+
+Multi-process / multi-host (the jax.distributed path — one process per
+host on a real pod slice, or several CPU processes on one machine for
+mechanics validation):
+  # per host / process (pod runbook):
+  python benchmarks/scaling.py --size 1024 \
+      --coordinator <host0>:12355 --num-processes N --process-id I
+  # local CPU validation (spawns the processes itself; 2 procs x 4
+  # virtual devices):
+  python benchmarks/scaling.py --launch 1,2 --size 128
+
+In multi-process mode every process must participate in every
+computation, so the mesh always spans all global devices; per-count
+efficiency comes from launching with different process counts (the
+--launch driver does exactly that and aggregates).
 
 On the virtual CPU mesh this validates mechanics, not speed; on a real
 multi-chip slice it reports voxels/s and scaling efficiency per device
@@ -10,6 +27,7 @@ count (BASELINE.md's >=80% target).
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,9 +44,6 @@ if os.environ.get("EDT_SCALING_PLATFORM") == "cpu":
 
 import jax.numpy as jnp
 
-from edt_tpu.ops import compose
-from edt_tpu.parallel import edtsq_sharded
-
 
 def time_call(fn, iters=3):
     fn()  # compile + warm
@@ -38,11 +53,98 @@ def time_call(fn, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+def launch(counts, size):
+    """Spawn n-process CPU runs for each n in counts; aggregate."""
+    here = os.path.abspath(__file__)
+    rows = {}
+    for n in counts:
+        procs = []
+        for i in range(n):
+            env = os.environ.copy()
+            env["EDT_SCALING_PLATFORM"] = "cpu"
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " --xla_force_host_platform_device_count=4")
+            cmd = [sys.executable, here, "--size", str(size),
+                   "--coordinator", "localhost:12355",
+                   "--num-processes", str(n), "--process-id", str(i)]
+            procs.append(subprocess.Popen(
+                cmd, env=env,
+                stdout=subprocess.PIPE if i == 0 else subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ))
+        out0 = procs[0].communicate()[0]
+        rcs = [p.wait() for p in procs]
+        if any(rcs):
+            raise SystemExit(f"launch n={n} failed: rcs={rcs}")
+        line = out0.decode().strip().splitlines()[-1]
+        rows[n] = json.loads(line)
+    base = None
+    table = {}
+    for n, row in sorted(rows.items()):
+        vps = row["Mvox_s"] * 1e6
+        dev = row["devices"]
+        if base is None:
+            base = vps / dev
+        table[n] = {
+            "processes": n, "devices": dev, "Mvox/s": row["Mvox_s"],
+            "efficiency_per_device": vps / (base * dev),
+        }
+    print(json.dumps({"mode": "multi-process CPU launch", "size": size,
+                      "results": table}, indent=2))
+
+
+def run_distributed(args):
+    """One process of a multi-process run (CPU validation or a pod host)."""
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    from edt_tpu.parallel import edtsq_sharded
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    S = args.size
+    devs = jax.devices()  # global
+    mesh = Mesh(np.asarray(devs), ("sp",))
+    sharding = NamedSharding(mesh, P("sp", None, None))
+    rng = np.random.default_rng(0)
+    labels_np = rng.integers(0, 5, size=(S, S, S)).astype(np.uint32)
+    labels = jax.make_array_from_callback(
+        (S, S, S), sharding, lambda idx: labels_np[idx]
+    )
+    anis = (1.0, 1.0, 1.0)
+    dt = time_call(lambda: jax.block_until_ready(
+        edtsq_sharded(labels, anis, False, mesh=mesh)))
+    if args.process_id == 0:
+        print(json.dumps({
+            "size": S, "backend": jax.default_backend(),
+            "processes": args.num_processes, "devices": len(devs),
+            "s": dt, "Mvox_s": S ** 3 / dt / 1e6,
+        }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--launch", default=None,
+                    help="comma list of process counts to spawn locally")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multi-host mode)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args()
     S = args.size
+
+    if args.launch:
+        launch([int(c) for c in args.launch.split(",")], S)
+        return
+    if args.coordinator:
+        run_distributed(args)
+        return
+
+    from edt_tpu.ops import compose
+    from edt_tpu.parallel import edtsq_sharded
+
     devs = jax.devices()
     rng = np.random.default_rng(0)
     labels = jnp.asarray(rng.integers(0, 5, size=(S, S, S)).astype(np.uint32))

@@ -24,9 +24,17 @@ import jax.numpy as jnp
 from edt_tpu.ops import compose
 from edt_tpu.utils import host_reference
 
-# Axes longer than this use the host FH fallback instead of the O(n^2/row)
-# device min-plus (only plausible for extremely thin/elongated arrays).
+# Axes longer than this use the host fallback. The Pallas kernels stream
+# rows through VMEM with radius-pruned candidate windows, so long axes are
+# fine on TPU (bounded by a (block_rows, n + 2*HALO) f32 block fitting
+# VMEM); the jnp min-plus used elsewhere is O(n^2/row), so off-TPU the
+# ceiling stays low (only plausible for extremely thin/elongated arrays).
 _DEVICE_MAX_AXIS = 8192
+_DEVICE_MAX_AXIS_PALLAS = 60000
+
+
+def _device_max_axis() -> int:
+    return _DEVICE_MAX_AXIS_PALLAS if _use_pallas() else _DEVICE_MAX_AXIS
 
 
 def _shard_min_voxels() -> int:
@@ -181,7 +189,7 @@ def edtsq(
         result = vg.edtsq_voxel_graph(
             data, voxel_graph, anisotropy, bool(black_border), arr_order
         )
-    elif max(data.shape) > _DEVICE_MAX_AXIS:
+    elif max(data.shape) > _device_max_axis():
         result = host_reference.edtsq_host(data, anisotropy, bool(black_border))
     else:
         # bool volumes take the binary fast path, like the reference's

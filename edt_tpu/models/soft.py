@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -266,27 +268,33 @@ def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
     reverse all_to_all), exactly like edt_tpu.parallel.edtsq_sharded.
     """
     nd = h.ndim
-    anisotropy = jnp.asarray(anisotropy, F32).reshape(nd)
+    anis_np = np.asarray(anisotropy, np.float32).reshape(nd)
+    anisotropy = jnp.asarray(anis_np)
     f = h.astype(F32)
-    for ax in range(nd - 1, 0, -1):
+    # ascending-pitch pass order (like api._sorted_axis_order): running
+    # cheap-pitch axes first keeps later passes' pruning radii small.
+    # Under sharding the sharded axis 0 must go last (its pass needs the
+    # all_to_all rotation); the remaining axes still sort.
+    first_axes = range(1, nd) if axis_name is not None else range(nd)
+    order = sorted(first_axes, key=lambda a: (float(anis_np[a]), -a))
+    if axis_name is not None:
+        if nd != 3:
+            raise ValueError("sharded soft EDT requires a 3-D volume")
+        order = order + [0]
+    for step, ax in enumerate(order):
+        rotated = axis_name is not None and ax == 0
+        if rotated:
+            f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0,
+                               tiled=True)
         f = jnp.moveaxis(
             _soft_pass(jnp.moveaxis(f, ax, -1), anisotropy[ax], black_border,
                        temperature),
             -1,
             ax,
         )
-    if axis_name is not None:
-        if nd != 3:
-            raise ValueError("sharded soft EDT requires a 3-D volume")
-        f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0, tiled=True)
-    f = jnp.moveaxis(
-        _soft_pass(jnp.moveaxis(f, 0, -1), anisotropy[0], black_border,
-                   temperature),
-        -1,
-        0,
-    )
-    if axis_name is not None:
-        f = lax.all_to_all(f, axis_name, split_axis=0, concat_axis=2, tiled=True)
+        if rotated:
+            f = lax.all_to_all(f, axis_name, split_axis=0, concat_axis=2,
+                               tiled=True)
     return f
 
 

@@ -61,6 +61,16 @@ def _radius_gap(bound_row, minf_row):
     return jnp.max(gap)
 
 
+def _radius_from_gap(gap, w2, n):
+    """Largest integer offset k with w2 * k^2 <= gap, guarded for f32
+    division/sqrt rounding (a couple of ulps) by a tiny multiplicative +
+    additive slack instead of a full +1 — workloads whose true radius sits
+    exactly on a band threshold (e.g. 32-wide blocks -> radius 16) would
+    otherwise tip into the expensive branch for no reason."""
+    r = jnp.sqrt(gap / w2) * (1.0 + 1e-5) + 0.01
+    return jnp.minimum(r, jnp.float32(n)).astype(I32)
+
+
 HALO = TILE  # INF halo around the scan axis enabling unaligned banded loads
 BAND_MAX_R = 16  # banded branch chosen when the pruning radius <= this
 # (measured v5e crossover: the rolling-window band beats a 128-candidate
@@ -163,8 +173,7 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
             bwall = w2 * jnp.minimum(bli * bli, bri * bri)
             bound = jnp.max(jnp.minimum(f_i, bwall), axis=1, keepdims=True)
         gap = _radius_gap(bound, minf_row)
-        radius_f = jnp.sqrt(gap / w2)
-        radius = jnp.minimum(radius_f, jnp.float32(n)).astype(I32) + 1
+        radius = _radius_from_gap(gap, w2, n)
 
         acc0 = jnp.full((block_rows, TILE), _INF, F32)
 
@@ -306,15 +315,16 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
 
 
 def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
-                           block_rows):
+                           block_rows, arg_band_r=48):
     w2 = w2_ref[0]
     n = n_tiles * TILE
-    # (TILE, TILE) [i, j] = i - j; i on sublanes, j on lanes so the argmin
-    # along candidates is a lane reduction with a lane-index select.
-    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
-    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    # (TILE, TILE) [j, i] = i - j; candidates j on SUBLANES, targets i on
+    # lanes, so both the min and the argmin-select reduce down the cheap
+    # sublane axis (lane reductions are far slower on the VPU).
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 0)
     dmat = (ii - jj).astype(F32)
-    jlanes = lax.broadcasted_iota(I32, (1, 1, TILE), 2)
+    jsub = lax.broadcasted_iota(I32, (1, TILE, 1), 1)
 
     ilanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
@@ -339,8 +349,8 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
         R0 = 16
         w0 = f_ref[:, pl.ds(HALO + i0 - TILE, TILE)]
         w2t = f_ref[:, pl.ds(HALO + i0 + TILE, TILE)]
-        wide = jnp.concatenate([w0, f_i, w2t], axis=1)
-        wide = pltpu.roll(wide, 2 * TILE + R0, axis=1)  # left by TILE - R0
+        wide0 = jnp.concatenate([w0, f_i, w2t], axis=1)
+        wide = pltpu.roll(wide0, 2 * TILE + R0, axis=1)  # left by TILE - R0
         dhat = jnp.full(f_i.shape, _INF, F32)
         ahat = jnp.zeros(f_i.shape, I32)
         for k in range(2 * R0 + 1):
@@ -354,15 +364,37 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
         ahat = jnp.clip(ahat, 0, n - 1)
 
         gap = _radius_gap(jnp.max(dhat, axis=1, keepdims=True), minf_row)
-        radius = jnp.minimum(jnp.sqrt(gap / w2), jnp.float32(n)).astype(I32) + 1
+        radius = _radius_from_gap(gap, w2, n)
 
         def banded_done(_):
             return dhat, ahat
 
-        def tiled_scan(_):
-            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
-            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
-                                n_tiles)
+        def banded_scan(rw):
+            # dynamic-radius banded argmin rescan over [-rw, rw] in
+            # leftmost-j order with strict improvement (restart from INF so
+            # tie order is globally ascending). O(rw)/voxel.
+            wideb = pltpu.roll(wide0, 2 * TILE + rw, axis=1)
+
+            def body(k, carry):
+                best, arg, win = carry
+                kk = (k - rw).astype(F32)
+                cand = win[:, :TILE] + w2 * (kk * kk)
+                better = cand < best
+                best = jnp.where(better, cand, best)
+                arg = jnp.where(better, ilanes + (i0 + k - rw), arg)
+                return best, arg, pltpu.roll(win, 3 * TILE - 1, axis=1)
+
+            best0 = jnp.full((block_rows, TILE), _INF, F32)
+            arg0 = jnp.zeros((block_rows, TILE), I32)
+            best, arg, _ = lax.fori_loop(0, 2 * rw + 1, body,
+                                         (best0, arg0, wideb))
+            return best, jnp.clip(arg, 0, n - 1)
+
+        def tiled_scan(r):
+            # full rescan from INF over [i0 - r, i0 + TILE + r): tiles are
+            # visited ascending with strict <, so ties stay leftmost
+            jt_lo = jnp.maximum((i0 - r) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + r + TILE - 1) // TILE, n_tiles)
 
             def per_candidate_tile(jt, carry):
                 best, arg = carry
@@ -370,11 +402,11 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
                 f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
                 d = dmat + (i0 - j0).astype(F32)
                 quad = w2 * (d * d)
-                cost = f_j[:, None, :] + quad[None, :, :]  # (BR, T_i, T_j)
-                tile_best = jnp.min(cost, axis=-1)
+                cost = f_j[:, :, None] + quad[None, :, :]  # (BR, T_j, T_i)
+                tile_best = jnp.min(cost, axis=1)
                 tile_arg = jnp.min(
-                    jnp.where(cost == tile_best[..., None], jlanes + j0, n),
-                    axis=-1,
+                    jnp.where(cost == tile_best[:, None, :], jsub + j0, n),
+                    axis=1,
                 )
                 # strict < keeps the leftmost tile's winner on cross-tile ties
                 better = tile_best < best
@@ -386,7 +418,28 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
             return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
                                  (best0, arg0))
 
-        best, arg = lax.cond(radius <= R0, banded_done, tiled_scan, 0)
+        def wide_then_maybe_tiled(_):
+            # Two-stage refinement: the +-R0 probe cannot distinguish
+            # "winning offset is huge" from "source just beyond the probe
+            # under a barrier-height f" (dhat stays at the barrier, wildly
+            # inflating the radius). A wide band scan up to a tile tightens
+            # dhat to the true d wherever links are <= rw; the radius
+            # recomputed from that is the real one, and only tiles with
+            # genuinely long links fall through to the tile-pair scan.
+            rw = jnp.minimum(radius, jnp.int32(min(arg_band_r, TILE)))
+            best2, arg2 = banded_scan(rw)
+            gap2 = _radius_gap(jnp.max(best2, axis=1, keepdims=True),
+                               minf_row)
+            r2 = _radius_from_gap(gap2, w2, n)
+            return lax.cond(
+                r2 <= rw,
+                lambda _: (best2, arg2),
+                lambda _: tiled_scan(r2),
+                0,
+            )
+
+        best, arg = lax.cond(radius <= R0, banded_done,
+                             wide_then_maybe_tiled, 0)
         out_ref[:, pl.ds(i0, TILE)] = best
         arg_ref[:, pl.ds(i0, TILE)] = arg
         return 0
@@ -395,9 +448,10 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_rows")
+    jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r")
 )
-def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS):
+def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS,
+                          arg_band_r=48):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index."""
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
@@ -413,7 +467,7 @@ def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS):
                           memory_space=pltpu.VMEM)
     d, arg = pl.pallas_call(
         functools.partial(_minplus_argmin_kernel, n_tiles=n_tiles,
-                          block_rows=block_rows),
+                          block_rows=block_rows, arg_band_r=arg_band_r),
         grid=(Rp // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), f_spec],
         out_specs=(row_spec, row_spec),
@@ -444,8 +498,6 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
 
     moff = lax.fori_loop(0, n_tiles, _moff_tile, jnp.int32(0))
 
-    R0 = 16
-
     def per_target_tile(jt, _):
         j0 = jt * TILE
         jpos = lanes + j0  # (1, TILE) global target positions
@@ -453,21 +505,23 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
 
         def banded(acc):
             # rolling 3-tile windows of g and argj over source positions
-            # i = j + k, k in [-R0, R0]
+            # i = j + k, k in [-moff, moff] (dynamic trip count)
             def win3(ref):
                 a = ref[:, pl.ds(HALO + j0 - TILE, TILE)]
                 b = ref[:, pl.ds(HALO + j0, TILE)]
                 c = ref[:, pl.ds(HALO + j0 + TILE, TILE)]
                 w = jnp.concatenate([a, b, c], axis=1)
-                return pltpu.roll(w, 2 * TILE + R0, axis=1)  # left by T - R0
+                return pltpu.roll(w, 2 * TILE + moff, axis=1)  # left T - moff
 
-            gw = win3(g_ref)
-            aw = win3(arg_ref)
-            for _k in range(2 * R0 + 1):
+            def body(k, carry):
+                acc, gw, aw = carry
                 hit = aw[:, :TILE] == jpos
                 acc = acc + jnp.where(hit, gw[:, :TILE], 0.0)
-                gw = pltpu.roll(gw, 3 * TILE - 1, axis=1)
-                aw = pltpu.roll(aw, 3 * TILE - 1, axis=1)
+                return (acc, pltpu.roll(gw, 3 * TILE - 1, axis=1),
+                        pltpu.roll(aw, 3 * TILE - 1, axis=1))
+
+            acc, _, _ = lax.fori_loop(
+                0, 2 * moff + 1, body, (acc, win3(g_ref), win3(arg_ref)))
             return acc
 
         def tiled(acc):
@@ -487,7 +541,7 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
 
             return lax.fori_loop(it_lo, it_hi, per_source_tile, acc)
 
-        acc = lax.cond(moff <= R0, banded, tiled, acc0)
+        acc = lax.cond(moff <= TILE, banded, tiled, acc0)
         out_ref[:, pl.ds(j0, TILE)] = acc
         return 0
 
@@ -571,7 +625,7 @@ def _softmin_kernel(w2_ref, t_ref, f_ref, out_ref, *, n_tiles, block_rows,
             wide = pltpu.roll(wide, 3 * TILE - 1, axis=1)
 
         gap = _radius_gap(jnp.max(dhat, axis=1, keepdims=True), minf_row)
-        radius = jnp.minimum(jnp.sqrt(gap / w2), jnp.float32(n)).astype(I32) + 1
+        radius = _radius_from_gap(gap, w2, n)
 
         def band_done(_):
             return dhat
@@ -596,8 +650,7 @@ def _softmin_kernel(w2_ref, t_ref, f_ref, out_ref, *, n_tiles, block_rows,
         gap_s = _radius_gap(
             jnp.max(dmin, axis=1, keepdims=True) + SOFT_CUT * t, minf_row
         )
-        radius_s = jnp.minimum(jnp.sqrt(gap_s / w2),
-                               jnp.float32(n)).astype(I32) + 1
+        radius_s = _radius_from_gap(gap_s, w2, n)
 
         s0 = jnp.zeros((block_rows, TILE), F32)
 
@@ -688,7 +741,7 @@ def _softmin_grad_kernel(w2_ref, t_ref, f_ref, d_ref, g_ref, df_ref, e_ref,
     # per-row max of real d (padding is -INF so it cannot raise the max)
     maxd_row = jnp.max(d_ref[:, :], axis=1, keepdims=True)
     gap = _radius_gap(maxd_row + SOFT_CUT * t, minf_row)
-    radius = jnp.minimum(jnp.sqrt(gap / w2), jnp.float32(n)).astype(I32) + 1
+    radius = _radius_from_gap(gap, w2, n)
 
     def _win3(ref, c0):
         """3-tile window rotated so [i, :TILE] starts at c0 - radius."""

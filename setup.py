@@ -1,7 +1,7 @@
 import os
 import subprocess
 
-from setuptools import setup, find_packages
+from setuptools import setup
 from setuptools.command.build_py import build_py
 
 
@@ -22,16 +22,6 @@ class BuildWithNative(build_py):
             print(f"[edt_tpu] native RLE build skipped: {exc}")
 
 
-setup(
-    name="edt-tpu",
-    version="0.1.0",
-    description=(
-        "TPU-native multi-label anisotropic Euclidean distance transform "
-        "(JAX/Pallas), differentiable and multi-chip shardable"
-    ),
-    packages=find_packages(include=["edt_tpu", "edt_tpu.*"]),
-    package_data={"edt_tpu.native": ["rle.cpp"]},
-    python_requires=">=3.10",
-    install_requires=["jax", "numpy"],
-    cmdclass={"build_py": BuildWithNative},
-)
+# metadata lives in pyproject.toml; this file only hooks the optional
+# native build into the packaging pipeline
+setup(cmdclass={"build_py": BuildWithNative})

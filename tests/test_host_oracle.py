@@ -12,15 +12,58 @@ from edt_tpu.utils import host_reference as hr
 def test_device_vs_host_3d(black_border, nlabels):
     labels = np.random.randint(0, nlabels + 1, size=(14, 15, 16)).astype(np.uint32)
     dev = edt.edtsq(labels, black_border=black_border)
-    host = hr.edtsq_host(labels, (1.0, 1.0, 1.0), black_border)
+    host = hr.edtsq_host(labels, (1.0, 1.0, 1.0), black_border, method="fh")
     assert np.array_equal(dev, host)
+
+
+@pytest.mark.parametrize("black_border", [True, False])
+def test_host_banded_equals_fh(black_border):
+    """The vectorized banded host path (method='auto') is exactly the
+    sequential FH scan — the host-side instance of the wall-subsumption
+    lemma — including a pathological stripe forcing large radii."""
+    rng = np.random.default_rng(0)
+    for aniso in ((1.0, 1.0, 1.0), (0.7, 2.3, 5.0)):
+        labels = rng.integers(0, 4, size=(12, 13, 14)).astype(np.uint32)
+        a = hr.edtsq_host(labels, aniso, black_border, method="fh")
+        b = hr.edtsq_host(labels, aniso, black_border, method="auto")
+        fin = np.isfinite(a)
+        assert np.array_equal(np.isfinite(b), fin)
+        assert np.array_equal(a[fin], b[fin])
+    # all-foreground (open borders -> INF; with bb -> giant radii)
+    ones = np.ones((9, 10, 11), np.uint32)
+    a = hr.edtsq_host(ones, (1.0, 1.0, 1.0), black_border, method="fh")
+    b = hr.edtsq_host(ones, (1.0, 1.0, 1.0), black_border, method="auto")
+    fin = np.isfinite(a)
+    assert np.array_equal(np.isfinite(b), fin)
+    assert np.array_equal(a[fin], b[fin])
+
+
+def test_host_long_axis_fast():
+    """A (10000, 64, 64) volume completes in seconds on the host (the
+    reference C++ handles such shapes easily, edt.hpp:168-313; the old
+    per-row Python fallback took hours)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 3, size=(10000, 64, 64)).astype(np.uint32)
+    t0 = time.perf_counter()
+    out = hr.edtsq_host(labels, (1.0, 1.0, 1.0), True)
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, f"host fallback too slow: {dt:.1f}s"
+    # spot-check a subvolume against the sequential oracle
+    sub = labels[:40, :16, :16].copy()
+    # interior equality only (cropping changes boundary semantics), so
+    # compare the full transform of the small volume instead
+    a = hr.edtsq_host(sub, (1.0, 1.0, 1.0), True, method="fh")
+    b = hr.edtsq_host(sub, (1.0, 1.0, 1.0), True, method="auto")
+    assert np.array_equal(a, b)
 
 
 @pytest.mark.parametrize("black_border", [True, False])
 def test_device_vs_host_anisotropic(black_border):
     labels = np.random.randint(0, 3, size=(12, 13, 14)).astype(np.uint32)
     dev = edt.edtsq(labels, anisotropy=(2.0, 3.0, 5.0), black_border=black_border)
-    host = hr.edtsq_host(labels, (2.0, 3.0, 5.0), black_border)
+    host = hr.edtsq_host(labels, (2.0, 3.0, 5.0), black_border, method="fh")
     # integer-weight arithmetic is exact in f32 at these scales
     assert np.array_equal(dev, host)
 
@@ -29,7 +72,7 @@ def test_device_vs_host_anisotropic(black_border):
 def test_device_vs_host_2d_fractional(black_border):
     labels = np.random.randint(0, 4, size=(33, 37)).astype(np.uint32)
     dev = edt.edtsq(labels, anisotropy=(0.7, 1.3), black_border=black_border)
-    host = hr.edtsq_host(labels, (0.7, 1.3), black_border)
+    host = hr.edtsq_host(labels, (0.7, 1.3), black_border, method="fh")
     finite = np.isfinite(host)
     assert np.all(np.isfinite(dev) == finite)
     assert np.allclose(dev[finite], host[finite], rtol=1e-5, atol=1e-6)

@@ -102,20 +102,26 @@ def test_fused_3d_composition_matches():
 
 def test_argmin_kernel_matches_jnp():
     """Soft-path forward kernel: min-plus + leftmost argmin == jnp oracle,
-    across small-radius, tied, and barrier-height regimes."""
-    for seed in range(3):
+    across small-radius, tied, barrier-height (tiled), and mid-radius
+    (wide-band two-stage) regimes."""
+    for seed in range(4):
         rng = np.random.default_rng(seed)
         f = (rng.random((9, 300)) * 50).astype(np.float32)
         f[rng.random((9, 300)) > 0.6] = 0.0
-        if seed == 2:  # soft-EDT barrier heights
+        if seed == 2:  # soft-EDT barrier heights, links > a tile -> tiled
             f = (rng.random((9, 300)) > 0.5).astype(np.float32) * 2.7e5
+        if seed == 3:  # barrier field with sources every ~80: the probe
+            # band misses them (radius estimate explodes to the barrier)
+            # but the wide band stage finds and proves them
+            f = np.full((9, 300), 2.7e5, np.float32)
+            f[:, ::80] = 0.0
         fj = jnp.asarray(f)
         w2 = jnp.float32(1.3)
         i = jnp.arange(300, dtype=jnp.float32)
         cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
         d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True)
-        assert np.array_equal(np.array(d), np.array(jnp.min(cost, -1)))
-        assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1)))
+        assert np.array_equal(np.array(d), np.array(jnp.min(cost, -1))), seed
+        assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1))), seed
 
 
 def _soft_cases():
