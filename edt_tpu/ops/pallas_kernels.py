@@ -390,9 +390,15 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
                                          (best0, arg0, wideb))
             return best, jnp.clip(arg, 0, n - 1)
 
-        def tiled_scan(r):
+        def tiled_scan(r, ub):
             # full rescan from INF over [i0 - r, i0 + TILE + r): tiles are
-            # visited ascending with strict <, so ties stay leftmost
+            # visited ascending with strict <, so ties stay leftmost.
+            # Tile-minima skip: a candidate tile whose cheapest possible
+            # cost min(f_J) + w2 * tilegap^2 exceeds ub (an upper bound on
+            # every d_i in the target tile) cannot win OR tie — on
+            # barrier-height fields most candidate tiles are all-barrier
+            # and skip, leaving only the source-bearing tiles to pay the
+            # (rows, 128, 128) work.
             jt_lo = jnp.maximum((i0 - r) // TILE, 0)
             jt_hi = jnp.minimum((i0 + TILE + r + TILE - 1) // TILE, n_tiles)
 
@@ -400,18 +406,27 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
                 best, arg = carry
                 j0 = jt * TILE
                 f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
-                d = dmat + (i0 - j0).astype(F32)
-                quad = w2 * (d * d)
-                cost = f_j[:, :, None] + quad[None, :, :]  # (BR, T_j, T_i)
-                tile_best = jnp.min(cost, axis=1)
-                tile_arg = jnp.min(
-                    jnp.where(cost == tile_best[:, None, :], jsub + j0, n),
-                    axis=1,
-                )
-                # strict < keeps the leftmost tile's winner on cross-tile ties
-                better = tile_best < best
-                return (jnp.where(better, tile_best, best),
-                        jnp.where(better, tile_arg, arg))
+                tilegap = jnp.maximum(jnp.abs(i0 - j0) - TILE + 1, 0
+                                      ).astype(F32)
+                lo_cost = jnp.min(f_j) + w2 * tilegap * tilegap
+
+                def work(carry):
+                    best, arg = carry
+                    d = dmat + (i0 - j0).astype(F32)
+                    quad = w2 * (d * d)
+                    cost = f_j[:, :, None] + quad[None, :, :]  # (BR,T_j,T_i)
+                    tile_best = jnp.min(cost, axis=1)
+                    tile_arg = jnp.min(
+                        jnp.where(cost == tile_best[:, None, :], jsub + j0,
+                                  n),
+                        axis=1,
+                    )
+                    # strict < keeps the leftmost tile's winner on ties
+                    better = tile_best < best
+                    return (jnp.where(better, tile_best, best),
+                            jnp.where(better, tile_arg, arg))
+
+                return lax.cond(lo_cost > ub, lambda c: c, work, (best, arg))
 
             best0 = jnp.full((block_rows, TILE), _INF, F32)
             arg0 = jnp.zeros((block_rows, TILE), I32)
@@ -434,7 +449,7 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
             return lax.cond(
                 r2 <= rw,
                 lambda _: (best2, arg2),
-                lambda _: tiled_scan(r2),
+                lambda _: tiled_scan(r2, jnp.max(best2)),
                 0,
             )
 
@@ -630,21 +645,51 @@ def _softmin_kernel(w2_ref, t_ref, f_ref, out_ref, *, n_tiles, block_rows,
         def band_done(_):
             return dhat
 
-        def tiled_min(_):
-            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
-            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
-                                n_tiles)
+        def tiled_min(d0, r, ub):
+            # min-accumulate over candidate tiles; tiles whose cheapest
+            # possible cost exceeds ub (>= every d_i here) are skipped
+            jt_lo = jnp.maximum((i0 - r) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + r + TILE - 1) // TILE, n_tiles)
 
             def per_candidate_tile(jt, acc):
                 j0 = jt * TILE
                 f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
-                d = dmat + (i0 - j0).astype(F32)
-                cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
-                return jnp.minimum(acc, jnp.min(cost, axis=1))
+                tg = jnp.maximum(jnp.abs(i0 - j0) - TILE + 1, 0).astype(F32)
+                lo_cost = jnp.min(f_j) + w2 * tg * tg
 
-            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, dhat)
+                def work(acc):
+                    d = dmat + (i0 - j0).astype(F32)
+                    cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
+                    return jnp.minimum(acc, jnp.min(cost, axis=1))
 
-        dmin = lax.cond(radius <= R0, band_done, tiled_min, 0)
+                return lax.cond(lo_cost > ub, lambda a: a, work, acc)
+
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, d0)
+
+        def wide_then_maybe_tiled(_):
+            # same two-stage refinement as the argmin kernel: a wide band
+            # (min is order-free, so it continues from dhat) tightens the
+            # bound before committing to tile pairs
+            rw = jnp.minimum(radius, jnp.int32(TILE))
+            wideb = pltpu.roll(wide0, 2 * TILE + rw, axis=1)
+
+            def body(k, carry):
+                acc, win = carry
+                kk = (k - rw).astype(F32)
+                acc = jnp.minimum(acc, win[:, :TILE] + w2 * (kk * kk))
+                return acc, pltpu.roll(win, 3 * TILE - 1, axis=1)
+
+            d2, _ = lax.fori_loop(0, 2 * rw + 1, body, (dhat, wideb))
+            gap2 = _radius_gap(jnp.max(d2, axis=1, keepdims=True), minf_row)
+            r2 = _radius_from_gap(gap2, w2, n)
+            return lax.cond(
+                r2 <= rw,
+                lambda _: d2,
+                lambda _: tiled_min(d2, r2, jnp.max(d2)),
+                0,
+            )
+
+        dmin = lax.cond(radius <= R0, band_done, wide_then_maybe_tiled, 0)
 
         # --- phase B: shifted exp accumulation within the soft radius ---
         gap_s = _radius_gap(
@@ -671,14 +716,23 @@ def _softmin_kernel(w2_ref, t_ref, f_ref, out_ref, *, n_tiles, block_rows,
             jt_lo = jnp.maximum((i0 - radius_s) // TILE, 0)
             jt_hi = jnp.minimum((i0 + TILE + radius_s + TILE - 1) // TILE,
                                 n_tiles)
+            # tiles whose cheapest cost exceeds every d_i + SOFT_CUT*t
+            # contribute below f32 resolution of the (>= 1) accumulator
+            ub_s = jnp.max(dmin) + SOFT_CUT * t
 
             def per_candidate_tile(jt, s):
                 j0 = jt * TILE
                 f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
-                d = dmat + (i0 - j0).astype(F32)
-                cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
-                p = jnp.exp((dmin[:, None, :] - cost) * invt)
-                return s + jnp.sum(p, axis=1)
+                tg = jnp.maximum(jnp.abs(i0 - j0) - TILE + 1, 0).astype(F32)
+                lo_cost = jnp.min(f_j) + w2 * tg * tg
+
+                def work(s):
+                    d = dmat + (i0 - j0).astype(F32)
+                    cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
+                    p = jnp.exp((dmin[:, None, :] - cost) * invt)
+                    return s + jnp.sum(p, axis=1)
+
+                return lax.cond(lo_cost > ub_s, lambda s: s, work, s)
 
             return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, s)
 
