@@ -183,13 +183,20 @@ def edtsq(
     if binary and data.dtype != np.bool_ and voxel_graph is None:
         data = data != 0
 
+    from edt_tpu.utils.profiling import counters
+
+    counters.transforms += 1
+    counters.voxels += int(data.size)
+
     if voxel_graph is not None:
         from edt_tpu.ops import voxel_graph as vg
 
+        counters.voxel_graph_calls += 1
         result = vg.edtsq_voxel_graph(
             data, voxel_graph, anisotropy, bool(black_border), arr_order
         )
     elif max(data.shape) > _device_max_axis():
+        counters.host_fallbacks += 1
         result = host_reference.edtsq_host(data, anisotropy, bool(black_border))
     else:
         # bool volumes take the binary fast path, like the reference's
@@ -206,6 +213,7 @@ def edtsq(
             # bounded only by RAM
             from edt_tpu.parallel import sharded
 
+            counters.sharded_dispatches += 1
             out = sharded.edtsq_sharded_auto(
                 jnp.asarray(labels), anisotropy, bool(black_border),
                 binary=take_binary,

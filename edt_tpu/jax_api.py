@@ -23,7 +23,9 @@ from edt_tpu.models.soft import (
     default_barrier,
 )
 from edt_tpu.parallel.sharded import (
+    default_mesh,
     edtsq_sharded,
+    edtsq_sharded_auto,
     edt_sharded,
     sdf_sharded,
     edtsq_voxel_graph_sharded,
@@ -34,6 +36,6 @@ __all__ = [
     "default_minplus_fn", "default_parabolic_fn",
     "edtsq_voxel_graph_jnp",
     "edtsq_from_heights", "soft_edtsq", "soft_sdfsq", "default_barrier",
-    "edtsq_sharded", "edt_sharded", "sdf_sharded",
-    "edtsq_voxel_graph_sharded",
+    "default_mesh", "edtsq_sharded", "edtsq_sharded_auto", "edt_sharded",
+    "sdf_sharded", "edtsq_voxel_graph_sharded",
 ]

@@ -14,6 +14,36 @@ import jax
 import jax.numpy as jnp
 
 
+class Counters:
+    """Process-wide library counters (transforms run, voxels processed,
+    dispatch decisions). The reference has no observability at all
+    (SURVEY.md §5); these are intentionally cheap — plain Python ints
+    bumped at the NumPy API layer, zero cost inside jit.
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.transforms = 0
+        self.voxels = 0
+        self.sharded_dispatches = 0
+        self.host_fallbacks = 0
+        self.voxel_graph_calls = 0
+
+    def snapshot(self) -> dict:
+        return {
+            "transforms": self.transforms,
+            "voxels": self.voxels,
+            "sharded_dispatches": self.sharded_dispatches,
+            "host_fallbacks": self.host_fallbacks,
+            "voxel_graph_calls": self.voxel_graph_calls,
+        }
+
+
+counters = Counters()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/edt_tpu_trace"):
     """Capture a jax.profiler trace of the enclosed block (view in XProf)."""

@@ -197,6 +197,35 @@ def test_runs_forder():
     assert rns[2] == [(2, 4)]
 
 
+def test_counters():
+    from edt_tpu.utils.profiling import counters
+
+    counters.reset()
+    labels = np.random.randint(0, 3, size=(9, 10, 11)).astype(np.uint32)
+    edt.edtsq(labels)
+    snap = counters.snapshot()
+    assert snap["transforms"] == 1
+    assert snap["voxels"] == labels.size
+    edt.edtsq(np.zeros(8300, np.uint32))  # long axis -> host fallback (CPU)
+    assert counters.snapshot()["host_fallbacks"] == 1
+
+
+def test_each_uses_native_rle_when_built():
+    """Throughput guard for each(): typical (contiguous, supported-dtype)
+    arrays must take the native C++ RLE path when it is built — falling
+    off it silently is a ~10x extraction regression (README each() claim)."""
+    from edt_tpu import rle
+
+    if rle._native is None:
+        pytest.skip("native RLE kit not built")
+    labels = np.random.randint(0, 5, size=(16, 17, 18)).astype(np.uint32)
+    flat = rle._flat_memory_order(labels)
+    assert rle._use_native(flat)
+    # the edtsq output fed to each() must stay on the native path too
+    dt = edt.edtsq(labels)
+    assert rle._use_native(rle._flat_memory_order(dt))
+
+
 def test_reshape_stride_tricks():
     arr = np.arange(12, dtype=np.uint32).reshape(3, 4)
     flat = edt.reshape(arr, (12,))

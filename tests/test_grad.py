@@ -78,7 +78,10 @@ def test_grad_fd_full_volume(temperature, black_border):
     fd = np.array(jax.lax.map(fd_one, basis)).reshape(occ.shape)
     # hard-min (t=0) has subgradient kinks; allow a few tie voxels to
     # disagree, everything else must match FD closely
-    close = np.isclose(g, fd, rtol=3e-2, atol=3e-4)
+    # atol covers f32 finite-difference quantization: the FD numerator is
+    # a difference of O(100) sums, so tiny true gradients carry ~1e-3
+    # absolute noise (measured 6.6e-4 worst on TPU)
+    close = np.isclose(g, fd, rtol=3e-2, atol=1.5e-3)
     if temperature > 0:
         assert close.all(), (np.argwhere(~close), g[~close], fd[~close])
     else:
