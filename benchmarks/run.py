@@ -53,9 +53,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sections", default="all",
+                    help="comma list: binary,multilabel,sdf,soft,each,vg")
     args = ap.parse_args()
     S = args.size
     vox = S**3
+    sections = set(args.sections.split(","))
+
+    def want(name):
+        return "all" in sections or name in sections
 
     from edt_tpu.api import _use_pallas
     from edt_tpu.ops import compose
@@ -77,14 +83,15 @@ def main():
                           binary=True)
         return d[S // 2, S // 2, S // 2]
 
-    dt = chain_timer(binary_step, args.iters)(ones)
-    results["binary_cube_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
-                                  "ref_s_512": 7.0}
+    if want("binary"):
+        dt = chain_timer(binary_step, args.iters)(ones)
+        results["binary_cube_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
+                                      "ref_s_512": 7.0}
 
-    rb = jnp.asarray((rng.random((S, S, S)) > 0.5).astype(np.uint8))
-    dt = chain_timer(binary_step, args.iters)(rb)
-    results["binary_random_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
-                                    "ref_s_512": 7.0}
+        rb = jnp.asarray((rng.random((S, S, S)) > 0.5).astype(np.uint8))
+        dt = chain_timer(binary_step, args.iters)(rb)
+        results["binary_random_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
+                                        "ref_s_512": 7.0}
 
     # ---- multi-label ----
     blk = max(1, S // 16)
@@ -99,9 +106,10 @@ def main():
                           axis_order=(1, 0, 2))
         return d[S // 2, S // 2, S // 2]
 
-    dt = chain_timer(ml_step, args.iters)(lab)
-    results["multilabel_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
-                                 "ref_s_512": 9.0}
+    if want("multilabel"):
+        dt = chain_timer(ml_step, args.iters)(lab)
+        results["multilabel_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
+                                     "ref_s_512": 9.0}
 
     # ---- sdf ----
     def sdf_step(x, i):
@@ -109,8 +117,9 @@ def main():
         d = compose.sdfsq(l, aniso, True, minplus_fn=mp, parabolic_fn=pf)
         return d[S // 2, S // 2, S // 2]
 
-    dt = chain_timer(sdf_step, args.iters)(lab)
-    results["sdfsq"] = {"s": dt, "Mvox/s": vox / dt / 1e6}
+    if want("sdf"):
+        dt = chain_timer(sdf_step, args.iters)(lab)
+        results["sdfsq"] = {"s": dt, "Mvox/s": vox / dt / 1e6}
 
     # ---- soft EDT fwd+bwd ----
     Ssoft = min(S, 256)
@@ -126,9 +135,10 @@ def main():
         )(o)
         return g[1, 1, 1]
 
-    dt = chain_timer(soft_step, args.iters)(occ)
-    results[f"soft_edtsq_fwd_bwd_{Ssoft}^3"] = {
-        "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
+    if want("soft"):
+        dt = chain_timer(soft_step, args.iters)(occ)
+        results[f"soft_edtsq_fwd_bwd_{Ssoft}^3"] = {
+            "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
 
     # ---- softmin (temperature > 0, the smooth training mode) ----
     def softmin_step(x, i):
@@ -141,36 +151,39 @@ def main():
         )(o)
         return g[1, 1, 1]
 
-    dt = chain_timer(softmin_step, args.iters)(occ)
-    results[f"softmin_t0.3_fwd_bwd_{Ssoft}^3"] = {
-        "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
+    if want("soft"):
+        dt = chain_timer(softmin_step, args.iters)(occ)
+        results[f"softmin_t0.3_fwd_bwd_{Ssoft}^3"] = {
+            "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
 
     # ---- per-label extraction (SNEMI3D-like: 512x512x100, ~300 labels) ----
-    shape = (min(S, 512), min(S, 512), 100)
-    nl = rng.integers(1, 335, size=(shape[0] // 32, shape[1] // 32, shape[2] // 20))
-    lab_each = np.kron(nl, np.ones((32, 32, 20), np.int16)).astype(np.uint16)
-    edt.edt(lab_each, anisotropy=(6, 6, 30), black_border=True)  # warm/compile
-    t0 = time.perf_counter()
-    mdt = edt.edt(lab_each, anisotropy=(6, 6, 30), black_border=True)
-    t_edt = time.perf_counter() - t0  # wall incl. host<->device transfer
-    t0 = time.perf_counter()
-    count = 0
-    for _label, img in edt.each(lab_each, mdt, in_place=True):
-        count += 1
-    t_each = time.perf_counter() - t0
-    results["each_extraction"] = {
-        "edt_s": t_edt, "extract_s": t_each, "labels": count,
-        "ref_s_snemi3d": 90.0}
+    if want("each"):
+        shape = (min(S, 512), min(S, 512), 100)
+        nl = rng.integers(1, 335, size=(shape[0] // 32, shape[1] // 32, shape[2] // 20))
+        lab_each = np.kron(nl, np.ones((32, 32, 20), np.int16)).astype(np.uint16)
+        edt.edt(lab_each, anisotropy=(6, 6, 30), black_border=True)  # warm/compile
+        t0 = time.perf_counter()
+        mdt = edt.edt(lab_each, anisotropy=(6, 6, 30), black_border=True)
+        t_edt = time.perf_counter() - t0  # wall incl. host<->device transfer
+        t0 = time.perf_counter()
+        count = 0
+        for _label, img in edt.each(lab_each, mdt, in_place=True):
+            count += 1
+        t_each = time.perf_counter() - t0
+        results["each_extraction"] = {
+            "edt_s": t_edt, "extract_s": t_each, "labels": count,
+            "ref_s_snemi3d": 90.0}
 
     # ---- voxel graph ----
-    Sv = min(S, 256)
-    labv = np.ones((Sv, Sv, Sv), np.uint8)
-    graph = np.full((Sv, Sv, Sv), 0b111111, np.uint8)
-    edt.edtsq(labv, voxel_graph=graph, black_border=True)  # warm/compile
-    t0 = time.perf_counter()
-    edt.edtsq(labv, voxel_graph=graph, black_border=True)
-    results[f"voxel_graph_{Sv}^3"] = {
-        "s": time.perf_counter() - t0}  # wall incl. transfer of 8x volume
+    if want("vg"):
+        Sv = min(S, 256)
+        labv = np.ones((Sv, Sv, Sv), np.uint8)
+        graph = np.full((Sv, Sv, Sv), 0b111111, np.uint8)
+        edt.edtsq(labv, voxel_graph=graph, black_border=True)  # warm/compile
+        t0 = time.perf_counter()
+        edt.edtsq(labv, voxel_graph=graph, black_border=True)
+        results[f"voxel_graph_{Sv}^3"] = {
+            "s": time.perf_counter() - t0}  # wall incl. transfer of 8x volume
 
     print(json.dumps({"size": S, "backend": jax.default_backend(),
                       "results": results}, indent=2))
