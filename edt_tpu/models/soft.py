@@ -91,34 +91,69 @@ def _minplus_hard_with_arg(f, w2):
     return d, a
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _minplus_hard(f, w2):
-    d, _ = _minplus_hard_with_arg(f, w2)
-    return d
+def _minplus_hard_binary_with_arg(f, w2):
+    """Closed-form (d, argj) for a two-valued height row f in {0, B}.
+
+    The winner is the nearest zero on either side (cost w2 k^2) or the
+    voxel itself at height B — every other candidate is dominated. Tie
+    order matches the kernel/jnp.argmin (leftmost j): left zero, then
+    self, then right zero. O(n) scans instead of the min-plus kernel;
+    bit-identical to _minplus_hard_with_arg whenever f really is
+    two-valued (tested).
+    """
+    R, n = f.shape
+    idx = jnp.arange(n, dtype=jnp.int32)
+    zero = f <= 0.0
+    pz = lax.cummax(jnp.where(zero, idx, -1), axis=1)
+    nz = lax.cummin(jnp.where(zero, idx, n), axis=1, reverse=True)
+    dl = w2 * (idx - pz).astype(F32) ** 2
+    dr = w2 * (nz - idx).astype(F32) ** 2
+    dl = jnp.where(pz >= 0, dl, INF)
+    dr = jnp.where(nz < n, dr, INF)
+    d = jnp.minimum(jnp.minimum(dl, f), dr)
+    argj = jnp.where(
+        dl == d, pz, jnp.where(f == d, jnp.broadcast_to(idx, f.shape), nz)
+    )
+    return d, argj.astype(jnp.int32)
 
 
-def _minplus_hard_fwd(f, w2):
-    d, argj = _minplus_hard_with_arg(f, w2)
-    return d, (argj, w2, f.shape[1])
+@functools.lru_cache(maxsize=2)
+def _make_minplus_hard(binary_heights):
+    @jax.custom_vjp
+    def mhard(f, w2):
+        d, _ = fwd_impl(f, w2)
+        return d
+
+    def fwd_impl(f, w2):
+        if binary_heights:
+            return _minplus_hard_binary_with_arg(f, w2)
+        return _minplus_hard_with_arg(f, w2)
+
+    def fwd(f, w2):
+        d, argj = fwd_impl(f, w2)
+        return d, (argj, w2, f.shape[1])
+
+    def bwd(res, g):
+        argj, w2, n = res
+        # d[r, i] = f[r, argj[r, i]] + w2 * (i - argj)^2
+        if _use_pallas():
+            from edt_tpu.ops import pallas_kernels
+
+            df = pallas_kernels.minplus_grad_pallas(g, argj)
+        else:
+            R = argj.shape[0]
+            rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+            df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
+        i = jnp.arange(n, dtype=F32)[None, :]
+        dw2 = jnp.sum(g * (i - argj.astype(F32)) ** 2)
+        return df, dw2
+
+    mhard.defvjp(fwd, bwd)
+    return mhard
 
 
-def _minplus_hard_bwd(res, g):
-    argj, w2, n = res
-    # d[r, i] = f[r, argj[r, i]] + w2 * (i - argj)^2
-    if _use_pallas():
-        from edt_tpu.ops import pallas_kernels
-
-        df = pallas_kernels.minplus_grad_pallas(g, argj)
-    else:
-        R = argj.shape[0]
-        rows = jnp.arange(R, dtype=jnp.int32)[:, None]
-        df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
-    i = jnp.arange(n, dtype=F32)[None, :]
-    dw2 = jnp.sum(g * (i - argj.astype(F32)) ** 2)
-    return df, dw2
-
-
-_minplus_hard.defvjp(_minplus_hard_fwd, _minplus_hard_bwd)
+def _minplus_hard(f, w2, binary_heights=False):
+    return _make_minplus_hard(bool(binary_heights))(f, w2)
 
 
 # ---------------- softmin ----------------
@@ -229,7 +264,7 @@ def _minplus_soft(f, w2, temperature):
 # ---------------- passes and composition ----------------
 
 
-def _soft_pass(f, w, black_border, temperature):
+def _soft_pass(f, w, black_border, temperature, binary_heights=False):
     """One differentiable min-plus pass along the last axis of f."""
     n = f.shape[-1]
     w = jnp.asarray(w, F32)
@@ -239,7 +274,7 @@ def _soft_pass(f, w, black_border, temperature):
     if temperature and temperature > 0.0:
         d = _minplus_soft(f2, w2, float(temperature))
     else:
-        d = _minplus_hard(f2, w2)
+        d = _minplus_hard(f2, w2, binary_heights=binary_heights)
     d = d.reshape(shape)
     if black_border:
         idx = jnp.arange(n, dtype=F32)
@@ -255,7 +290,7 @@ def _soft_pass(f, w, black_border, temperature):
 
 
 def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
-                       axis_name=None):
+                       axis_name=None, binary_heights=False):
     """Differentiable squared EDT of a height field (N-D, separable).
 
     h: (..., ) float32 heights; 0 at sources, +barrier at solid foreground.
@@ -266,6 +301,14 @@ def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
     inside a shard_map over that mesh axis; the axis-0 pass rotates the
     sharded axis via all_to_all (differentiable — its transpose is the
     reverse all_to_all), exactly like edt_tpu.parallel.edtsq_sharded.
+
+    binary_heights: caller's promise that h takes exactly two values
+    {0, B} (hard masks — the common inference case, or straight-through
+    training). At temperature 0 the first pass then runs as a closed form
+    (nearest-zero scans) with the same values, argmins, and gradients the
+    kernel would produce; later passes see smooth fields and use the
+    kernel regardless. Invalid (silently wrong values) if h is not
+    two-valued.
     """
     nd = h.ndim
     anis_np = np.asarray(anisotropy, np.float32).reshape(nd)
@@ -288,7 +331,8 @@ def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
                                tiled=True)
         f = jnp.moveaxis(
             _soft_pass(jnp.moveaxis(f, ax, -1), anisotropy[ax], black_border,
-                       temperature),
+                       temperature,
+                       binary_heights=binary_heights and step == 0),
             -1,
             ax,
         )
@@ -305,7 +349,7 @@ def default_barrier(shape, anisotropy):
 
 
 def soft_edtsq(occupancy, anisotropy, black_border=False, barrier=None,
-               temperature=0.0, axis_name=None):
+               temperature=0.0, axis_name=None, binary_occupancy=False):
     """Squared EDT of a soft occupancy map (1 = foreground, 0 = background).
 
     Differentiable w.r.t. occupancy. With binary occupancy and the default
@@ -317,12 +361,18 @@ def soft_edtsq(occupancy, anisotropy, black_border=False, barrier=None,
     the h-independent wall parabolas cap every distance, and a barrier far
     above that cap leaves gradients exponentially suppressed at
     temperature > 0 (and exactly zero at temperature == 0).
+
+    binary_occupancy=True promises occupancy takes only values {0, 1}
+    (hard masks / straight-through estimators): the first pass then runs
+    as a closed form at temperature 0, same values and gradients, much
+    faster. Silently wrong for genuinely soft occupancies.
     """
     if barrier is None:
         barrier = default_barrier(occupancy.shape, anisotropy)
     h = jnp.asarray(barrier, F32) * occupancy.astype(F32)
     return edtsq_from_heights(h, anisotropy, black_border, temperature,
-                              axis_name=axis_name)
+                              axis_name=axis_name,
+                              binary_heights=binary_occupancy)
 
 
 def soft_sdfsq(occupancy, anisotropy, black_border=False, barrier=None,

@@ -130,6 +130,42 @@ def test_sdf_soft_sign():
     assert np.all(s[occ <= 0.5] < 0)
 
 
+def test_binary_heights_closed_form_matches_kernel():
+    """The binary-occupancy fast path (closed-form first pass) must equal
+    the general min-plus — values, argmins (leftmost ties), and
+    gradients."""
+    rng = np.random.default_rng(3)
+    B = 500.0
+    f = (rng.random((11, 64)) > 0.45).astype(np.float32) * B
+    fj = jnp.asarray(f)
+    w2 = jnp.float32(1.7)
+    d_ref, a_ref = soft._minplus_hard_with_arg(fj, w2)
+    d_fast, a_fast = soft._minplus_hard_binary_with_arg(fj, w2)
+    assert np.array_equal(np.array(d_ref), np.array(d_fast))
+    assert np.array_equal(np.array(a_ref), np.array(a_fast))
+    # exact-tie row: zeros equidistant left/right -> leftmost must win
+    tie = np.full((1, 9), B, np.float32)
+    tie[0, 0] = tie[0, 8] = 0.0
+    d_ref, a_ref = soft._minplus_hard_with_arg(jnp.asarray(tie), jnp.float32(1.0))
+    d_fast, a_fast = soft._minplus_hard_binary_with_arg(
+        jnp.asarray(tie), jnp.float32(1.0))
+    assert np.array_equal(np.array(a_ref), np.array(a_fast))
+
+    # end to end: values and gradients agree with the general path
+    occ = (np.random.default_rng(4).random((7, 8, 9)) > 0.5).astype(np.float32)
+    occj = jnp.asarray(occ)
+
+    def lo(o, fast):
+        return jnp.sum(soft.soft_edtsq(o, (2.0, 1.0, 1.5), black_border=True,
+                                       barrier=90.0,
+                                       binary_occupancy=fast)) / o.size
+
+    assert np.allclose(float(lo(occj, False)), float(lo(occj, True)))
+    g0 = np.array(jax.grad(lambda o: lo(o, False))(occj))
+    g1 = np.array(jax.grad(lambda o: lo(o, True))(occj))
+    assert np.array_equal(g0, g1)
+
+
 def test_softmin_custom_vjp_matches_ad():
     """The softmin pass recomputes softmax weights in its custom backward
     (naive AD kept an O(rows * n^2) residual — 16 GB at 256^3); gradients

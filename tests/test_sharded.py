@@ -137,7 +137,8 @@ def test_api_auto_shard_dispatch(monkeypatch):
     assert np.array_equal(want_b2[finite], want_b[finite])
 
 
-def test_sharded_soft_grad():
+@pytest.mark.parametrize("temperature", [0.0, 0.4])
+def test_sharded_soft_grad(temperature):
     from edt_tpu.models import soft
 
     mesh = _mesh(4)
@@ -152,14 +153,16 @@ def test_sharded_soft_grad():
         )
         def f(o):
             d = soft.soft_edtsq(o, (1.0, 1.0, 1.0), black_border=True,
-                                barrier=64.0, axis_name="sp")
+                                barrier=64.0, temperature=temperature,
+                                axis_name="sp")
             return d
 
         return jnp.sum(f(o)) / o.size
 
     def run_single(o):
         return jnp.sum(
-            soft.soft_edtsq(o, (1.0, 1.0, 1.0), black_border=True, barrier=64.0)
+            soft.soft_edtsq(o, (1.0, 1.0, 1.0), black_border=True,
+                            barrier=64.0, temperature=temperature)
         ) / o.size
 
     l1, l2 = run_sharded(occ), run_single(occ)
