@@ -130,31 +130,33 @@ def edtsq(
 
 
 def edt(labels, anisotropy, black_border=False, minplus_fn=None,
-        parabolic_fn=None):
+        parabolic_fn=None, axis_order=None):
     """Euclidean distance (sqrt of edtsq)."""
     return jnp.sqrt(edtsq(labels, anisotropy, black_border,
-                          minplus_fn=minplus_fn, parabolic_fn=parabolic_fn))
+                          minplus_fn=minplus_fn, parabolic_fn=parabolic_fn,
+                          axis_order=axis_order))
 
 
 def sdfsq(labels, anisotropy, black_border=False, minplus_fn=None,
-          parabolic_fn=None):
+          parabolic_fn=None, axis_order=None):
     """Squared signed distance field: edtsq(x) - edtsq(x == 0).
 
     Mirrors reference edt.pyx:160-202.
     """
     fg = edtsq(labels, anisotropy, black_border, minplus_fn=minplus_fn,
-               parabolic_fn=parabolic_fn)
+               parabolic_fn=parabolic_fn, axis_order=axis_order)
     bg = edtsq((labels == 0).astype(jnp.uint8), anisotropy, black_border,
-               minplus_fn=minplus_fn, binary=True, parabolic_fn=parabolic_fn)
+               minplus_fn=minplus_fn, binary=True, parabolic_fn=parabolic_fn,
+               axis_order=axis_order)
     return fg - bg
 
 
 def sdf(labels, anisotropy, black_border=False, minplus_fn=None,
-        parabolic_fn=None):
+        parabolic_fn=None, axis_order=None):
     """Signed distance field: edt(x) - edt(x == 0) (reference edt.pyx:120-158)."""
     fg = edt(labels, anisotropy, black_border, minplus_fn=minplus_fn,
-             parabolic_fn=parabolic_fn)
+             parabolic_fn=parabolic_fn, axis_order=axis_order)
     bg = jnp.sqrt(edtsq((labels == 0).astype(jnp.uint8), anisotropy,
                         black_border, minplus_fn=minplus_fn, binary=True,
-                        parabolic_fn=parabolic_fn))
+                        parabolic_fn=parabolic_fn, axis_order=axis_order))
     return fg - bg
