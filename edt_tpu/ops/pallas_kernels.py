@@ -250,11 +250,11 @@ def _pad_to(x, rows, cols, value, halo=0):
 
 @functools.partial(
     jax.jit, static_argnames=("masked", "interpret", "block_rows", "walls",
-                              "black_border", "band_r")
+                              "black_border", "band_r", "row_sweep")
 )
 def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
                    block_rows=MP_BLOCK_ROWS, walls=False, black_border=False,
-                   band_r=BAND_MAX_R):
+                   band_r=BAND_MAX_R, row_sweep=False):
     """Min-plus over rows; f (R, n) f32 -> (R, n) f32.
 
     seg_start/seg_end: int32 per-voxel segment bounds along the row, used
@@ -273,6 +273,10 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     w2v = jnp.asarray(w2, F32).reshape(1)
     nrv = jnp.asarray(n, I32).reshape(1)
 
+    # the sweep's static tile loop unrolls n_tiles times per offset step;
+    # cap it so very long rows keep the per-tile kernel
+    if n_tiles > 16:
+        row_sweep = False
     kw = dict(n_tiles=n_tiles, masked=masked, block_rows=block_rows,
               walls=walls, black_border=black_border, band_r=band_r)
     grid = (Rp // block_rows,)
@@ -281,16 +285,17 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
                           memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    base = _minplus_rowsweep_kernel if row_sweep else _minplus_kernel
+    scratch = [pltpu.SMEM((n_tiles,), jnp.int32)] if row_sweep else []
     if masked:
-        kernel = functools.partial(_minplus_kernel, **kw)
+        kernel = functools.partial(base, **kw)
         ssp = _pad_to(seg_start.astype(I32), Rp, np_, -1)
         sep = _pad_to(seg_end.astype(I32), Rp, np_, 0)
         in_specs = [scalar_spec, scalar_spec, f_spec, row_spec, row_spec]
         args = (w2v, nrv, fp, ssp, sep)
     else:
-        def kernel(w2_ref, nreal_ref, f_ref, out_ref):
-            _minplus_kernel(w2_ref, nreal_ref, f_ref, None, None, out_ref,
-                            **kw)
+        def kernel(w2_ref, nreal_ref, f_ref, out_ref, *scr):
+            base(w2_ref, nreal_ref, f_ref, None, None, out_ref, *scr, **kw)
 
         in_specs = [scalar_spec, scalar_spec, f_spec]
         args = (w2v, nrv, fp)
@@ -300,9 +305,149 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
         in_specs=in_specs,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return out[:R, :n]
+
+
+def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
+                             out_ref, rad_ref, *, n_tiles, masked,
+                             block_rows=MP_BLOCK_ROWS, walls=False,
+                             black_border=False, band_r=BAND_MAX_R):
+    """Offset-major variant of _minplus_kernel: the banded evaluation rolls
+    the WHOLE padded row once per offset and min-updates every target tile,
+    instead of rolling a 3-tile window per tile — halves roll traffic when
+    several tiles take the band (rolls dominate the banded step cost).
+    Extra offsets beyond a tile's own radius are genuine candidates, so
+    sweeping every banded tile at the block's max banded radius stays
+    exact. Tiles whose radius exceeds band_r are recomputed by the pruned
+    tile-pair scan afterwards, and the wall epilogue applies at the end.
+    """
+    if ss_ref is None:
+        ss_ref = se_ref = f_ref  # unused placeholders
+    w2 = w2_ref[0]
+    n_real = nreal_ref[0]
+    n = n_tiles * TILE
+    width = n + 2 * HALO
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (jj - ii).astype(F32)
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+
+    # ---- phase 1: per-tile radii (stored in SMEM scratch) ----
+    def calc_radius(it, rmax):
+        i0 = it * TILE
+        f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
+        gi = lanes + i0
+        bound = jnp.max(f_i, axis=1, keepdims=True)
+        if walls and masked:
+            ss_i = ss_ref[:, pl.ds(i0, TILE)]
+            se_i = se_ref[:, pl.ds(i0, TILE)]
+            li = (gi - ss_i + 1).astype(F32)
+            ri = (se_i - gi).astype(F32)
+            lwall = w2 * (li * li)
+            rwall = w2 * (ri * ri)
+            if not black_border:
+                lwall = jnp.where(ss_i > 0, lwall, _INF)
+                rwall = jnp.where(se_i < n_real, rwall, _INF)
+            bound = jnp.max(jnp.minimum(f_i, jnp.minimum(lwall, rwall)),
+                            axis=1, keepdims=True)
+        elif walls and black_border:
+            bli = (gi + 1).astype(F32)
+            bri = (n_real - gi).astype(F32)
+            bwall = w2 * jnp.minimum(bli * bli, bri * bri)
+            bound = jnp.max(jnp.minimum(f_i, bwall), axis=1, keepdims=True)
+        radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
+        rad_ref[it] = radius
+        return jnp.maximum(rmax, jnp.where(radius <= band_r, radius, 0))
+
+    rmax = lax.fori_loop(0, n_tiles, calc_radius, jnp.int32(0))
+
+    # ---- phase 2: whole-row banded sweep over [-rmax, rmax] ----
+    def init_tile(it, _):
+        out_ref[:, pl.ds(it * TILE, TILE)] = jnp.full(
+            (block_rows, TILE), _INF, F32)
+        return 0
+
+    lax.fori_loop(0, n_tiles, init_tile, 0)
+
+    def sweep(_):
+        w0 = f_ref[:, :]  # (block_rows, width) value copy
+        # align so slice [t*T : t*T+T] holds f[i + kk] for kk = -rmax
+        wk = pltpu.roll(w0, rmax + (width - HALO), axis=1)
+
+        def body(k, wk):
+            kk = (k - rmax).astype(F32)
+            q = w2 * (kk * kk)
+            # n_tiles is static, so the tile loop unrolls with static
+            # value slices (Mosaic cannot dynamic-slice values)
+            for it in range(n_tiles):
+                sl = pl.ds(it * TILE, TILE)
+                cand = wk[:, it * TILE:(it + 1) * TILE]
+                out_ref[:, sl] = jnp.minimum(out_ref[:, sl], cand + q)
+            return pltpu.roll(wk, width - 1, axis=1)  # advance kk by 1
+
+        lax.fori_loop(0, 2 * rmax + 1, body, wk)
+        return 0
+
+    lax.cond(rmax > 0, sweep, lambda _: 0, 0)
+
+    # ---- phase 3: tiled recompute for large-radius tiles + wall epilogue ----
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        gi = lanes + i0
+        radius = rad_ref[it]
+        if masked:
+            ss_i = ss_ref[:, pl.ds(i0, TILE)]
+            se_i = se_ref[:, pl.ds(i0, TILE)]
+            seg_lo = jnp.min(ss_i)
+            seg_hi = jnp.max(se_i)
+        else:
+            seg_lo = jnp.int32(0)
+            seg_hi = jnp.int32(n)
+
+        def tiled(_):
+            j_lo = jnp.maximum(seg_lo, i0 - radius)
+            j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
+            jt_lo = jnp.maximum(j_lo // TILE, 0)
+            jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
+
+            def per_candidate_tile(jt, acc):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                d = dmat + (i0 - j0).astype(F32)
+                quad = w2 * (d * d)
+                cost = f_j[:, :, None] + quad[None, :, :]
+                return jnp.minimum(acc, jnp.min(cost, axis=1))
+
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
+                                 jnp.full((block_rows, TILE), _INF, F32))
+
+        acc = lax.cond(radius <= band_r,
+                       lambda _: out_ref[:, pl.ds(i0, TILE)], tiled, 0)
+
+        if walls:
+            if masked:
+                li = (gi - ss_i + 1).astype(F32)
+                ri = (se_i - gi).astype(F32)
+                lwall = w2 * (li * li)
+                rwall = w2 * (ri * ri)
+                if not black_border:
+                    lwall = jnp.where(ss_i > 0, lwall, _INF)
+                    rwall = jnp.where(se_i < n_real, rwall, _INF)
+                acc = jnp.minimum(acc, jnp.minimum(lwall, rwall))
+            elif black_border:
+                li = (gi + 1).astype(F32)
+                ri = (n_real - gi).astype(F32)
+                acc = jnp.minimum(acc, w2 * jnp.minimum(li * li, ri * ri))
+
+        out_ref[:, pl.ds(i0, TILE)] = acc
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -917,7 +1062,7 @@ def softmin_grad_pallas(f, d, g, w2, t, interpret=False,
 
 
 def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
-                      band_r=BAND_MAX_R):
+                      band_r=BAND_MAX_R, row_sweep=True):
     """Full-pass adapter used by ops.core/compose: signature
     (f2d, labels2d, w2, black_border, binary) -> d2d.
 
@@ -933,7 +1078,7 @@ def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
             return minplus_pallas(
                 f2d, f2d, f2d, w2, masked=False, walls=True,
                 black_border=black_border, interpret=interpret,
-                block_rows=block_rows, band_r=band_r,
+                block_rows=block_rows, band_r=band_r, row_sweep=row_sweep,
             )
         from edt_tpu.ops import core
 
@@ -941,7 +1086,7 @@ def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
         return minplus_pallas(
             f2d, ss, se, w2, masked=True, walls=True,
             black_border=black_border, interpret=interpret,
-            block_rows=block_rows, band_r=band_r,
+            block_rows=block_rows, band_r=band_r, row_sweep=row_sweep,
         )
 
     return fn

@@ -88,6 +88,33 @@ def test_unmasked_plus_walls_equals_masked():
             assert np.array_equal(unmasked[fin], masked[fin])
 
 
+@pytest.mark.parametrize("black_border", [False, True])
+@pytest.mark.parametrize("binary", [False, True])
+def test_rowsweep_variant_matches(black_border, binary):
+    """The offset-major row-sweep kernel == the per-tile kernel, across
+    masked/binary x border modes, including a mixed band/tiled field."""
+    rng = np.random.default_rng(9)
+    f = (rng.random((10, 300)).astype(np.float32) * 25)
+    lab = rng.integers(0, 3, size=(10, 300)).astype(np.uint32)
+    if binary:
+        lab = (lab != 0).astype(np.uint32)
+    f[lab == 0] = 0
+    # a long empty stretch forces some tiles tiled while others stay banded
+    f[:, 100:260] = 500.0
+    lab[:, 100:260] = 1
+    fj, labj = jnp.asarray(f), jnp.asarray(lab)
+    w = jnp.float32(1.1)
+    a = np.array(core.parabolic_pass_sq(
+        fj, labj, w, black_border, binary=binary,
+        parabolic_fn=pk.make_parabolic_fn(interpret=True)))
+    b = np.array(core.parabolic_pass_sq(
+        fj, labj, w, black_border, binary=binary,
+        parabolic_fn=pk.make_parabolic_fn(interpret=True, row_sweep=True)))
+    fin = np.isfinite(a)
+    assert np.array_equal(np.isfinite(b), fin)
+    assert np.array_equal(a[fin], b[fin])
+
+
 def test_fused_3d_composition_matches():
     rng = np.random.default_rng(5)
     labels = jnp.asarray(rng.integers(0, 4, size=(10, 11, 12)).astype(np.uint32))
