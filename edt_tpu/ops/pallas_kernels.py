@@ -607,11 +607,172 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
+def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
+                                    *, n_tiles, block_rows, arg_band_r=64,
+                                    probe_r=16):
+    """Offset-major argmin variant: whole-row rolls shared across tiles.
+
+    Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
+    per-tile radii from the probed minima; tiles needing more scan an
+    extension sweep out to min(radius, arg_band_r) — the left chunk runs
+    DESCENDING k with <= so equal-cost smaller-j candidates still win,
+    the right chunk ascending with strict < — then radii recompute from
+    the refined minima and only genuinely long-link tiles pay the pruned
+    tile-pair scan (with tile-minima skipping).
+    """
+    w2 = w2_ref[0]
+    n = n_tiles * TILE
+    width = n + 2 * HALO
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    dmat = (ii - jj).astype(F32)  # [j, i] = i - j
+    jsub = lax.broadcasted_iota(I32, (1, TILE, 1), 1)
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+    w0 = f_ref[:, :]
+
+    for it in range(n_tiles):
+        sl = pl.ds(it * TILE, TILE)
+        out_ref[:, sl] = jnp.full((block_rows, TILE), _INF, F32)
+        arg_ref[:, sl] = jnp.zeros((block_rows, TILE), I32)
+
+    def upd_tiles(wk, kk_i32, cmp_le, gate):
+        """One offset step: min-update every (gated) tile from wk."""
+        q = w2 * (kk_i32.astype(F32) ** 2)
+        for it in range(n_tiles):
+            sl = pl.ds(it * TILE, TILE)
+
+            def do(_):
+                cand = wk[:, it * TILE:(it + 1) * TILE] + q
+                best = out_ref[:, sl]
+                better = (cand <= best) if cmp_le else (cand < best)
+                out_ref[:, sl] = jnp.where(better, cand, best)
+                arg_ref[:, sl] = jnp.where(
+                    better, lanes + (it * TILE) + kk_i32, arg_ref[:, sl])
+                return 0
+
+            if gate is None:
+                do(0)
+            else:
+                lax.cond(gate(it), do, lambda _: 0, 0)
+
+    # ---- probe sweep ----
+    wk = pltpu.roll(w0, probe_r + (width - HALO), axis=1)
+
+    def probe_body(k, wk):
+        upd_tiles(wk, k - probe_r, cmp_le=False, gate=None)
+        return pltpu.roll(wk, width - 1, axis=1)
+
+    lax.fori_loop(0, 2 * probe_r + 1, probe_body, wk)
+
+    def calc_radius(store):
+        def body(it, ext_max):
+            bound = jnp.max(out_ref[:, pl.ds(it * TILE, TILE)], axis=1,
+                            keepdims=True)
+            radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
+            if store:
+                rad_ref[it] = radius
+            return jnp.maximum(
+                ext_max,
+                jnp.where(radius > probe_r,
+                          jnp.minimum(radius, jnp.int32(arg_band_r)),
+                          0),
+            )
+
+        return lax.fori_loop(0, n_tiles, body, jnp.int32(0))
+
+    rmax_ext = calc_radius(store=True)
+
+    # ---- extension sweeps (gated per tile on "probe was not enough") ----
+    def needs_ext(it):
+        return rad_ref[it] > probe_r
+
+    def extend(_):
+        # left chunk: kk descending from -(probe_r+1) to -rmax_ext, <=
+        wl = pltpu.roll(w0, (probe_r + 1) + (width - HALO), axis=1)
+
+        def left_body(k, wl):
+            upd_tiles(wl, -(probe_r + 1) - k, cmp_le=True, gate=needs_ext)
+            return pltpu.roll(wl, 1, axis=1)
+
+        lax.fori_loop(0, rmax_ext - probe_r, left_body, wl)
+
+        # right chunk: kk ascending from probe_r+1 to rmax_ext, strict <
+        wr = pltpu.roll(w0, (width - HALO) - (probe_r + 1), axis=1)
+
+        def right_body(k, wr):
+            upd_tiles(wr, (probe_r + 1) + k, cmp_le=False, gate=needs_ext)
+            return pltpu.roll(wr, width - 1, axis=1)
+
+        lax.fori_loop(0, rmax_ext - probe_r, right_body, wr)
+        return 0
+
+    lax.cond(rmax_ext > probe_r, extend, lambda _: 0, 0)
+
+    # radii recompute from refined minima (barrier-inflated estimates drop)
+    calc_radius(store=True)
+
+    # ---- tile-pair scan for tiles whose refined radius exceeds the sweep --
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        radius = rad_ref[it]
+        swept = jnp.maximum(jnp.minimum(jnp.int32(arg_band_r), rmax_ext),
+                            jnp.int32(probe_r))
+
+        def tiled(_):
+            ub = jnp.max(out_ref[:, pl.ds(i0, TILE)])
+            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_candidate_tile(jt, carry):
+                best, arg = carry
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                tg = jnp.maximum(jnp.abs(i0 - j0) - TILE + 1, 0).astype(F32)
+                lo_cost = jnp.min(f_j) + w2 * tg * tg
+
+                def work(carry):
+                    best, arg = carry
+                    d = dmat + (i0 - j0).astype(F32)
+                    quad = w2 * (d * d)
+                    cost = f_j[:, :, None] + quad[None, :, :]
+                    tile_best = jnp.min(cost, axis=1)
+                    tile_arg = jnp.min(
+                        jnp.where(cost == tile_best[:, None, :], jsub + j0,
+                                  n),
+                        axis=1,
+                    )
+                    better = tile_best < best
+                    return (jnp.where(better, tile_best, best),
+                            jnp.where(better, tile_arg, arg))
+
+                return lax.cond(lo_cost > ub, lambda c: c, work, carry)
+
+            best0 = jnp.full((block_rows, TILE), _INF, F32)
+            arg0 = jnp.zeros((block_rows, TILE), I32)
+            best, arg = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
+                                      (best0, arg0))
+            out_ref[:, pl.ds(i0, TILE)] = best
+            arg_ref[:, pl.ds(i0, TILE)] = arg
+            return 0
+
+        lax.cond(radius > swept, tiled, lambda _: 0, 0)
+        # clamp: padded-halo winners only occur for all-INF rows
+        arg_ref[:, pl.ds(i0, TILE)] = jnp.clip(
+            arg_ref[:, pl.ds(i0, TILE)], 0, n - 1)
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r")
+    jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
+                              "row_sweep")
 )
 def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS,
-                          arg_band_r=48):
+                          arg_band_r=48, row_sweep=True):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index."""
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
@@ -621,18 +782,30 @@ def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS,
     fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     w2v = jnp.asarray(w2, F32).reshape(1)
 
+    if n_tiles > 16:
+        row_sweep = False  # static tile unroll would explode on long rows
     row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                             memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
                           memory_space=pltpu.VMEM)
+    if row_sweep:
+        kernel = functools.partial(
+            _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
+            block_rows=block_rows, arg_band_r=arg_band_r)
+        scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
+    else:
+        kernel = functools.partial(
+            _minplus_argmin_kernel, n_tiles=n_tiles,
+            block_rows=block_rows, arg_band_r=arg_band_r)
+        scratch = []
     d, arg = pl.pallas_call(
-        functools.partial(_minplus_argmin_kernel, n_tiles=n_tiles,
-                          block_rows=block_rows, arg_band_r=arg_band_r),
+        kernel,
         grid=(Rp // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), f_spec],
         out_specs=(row_spec, row_spec),
         out_shape=(jax.ShapeDtypeStruct((Rp, np_), F32),
                    jax.ShapeDtypeStruct((Rp, np_), I32)),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(w2v, fp)
     return d[:R, :n], arg[:R, :n]
@@ -708,21 +881,94 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS):
+def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, *, n_tiles,
+                                  block_rows):
+    """Offset-major grad gather: whole-row rolls of g and argj shared
+    across target tiles (same restructuring as the forward row sweep —
+    halves roll traffic vs per-tile 3-tile windows). Falls back to the
+    per-tile tiled scan when the block's max link exceeds a tile."""
+    n = n_tiles * TILE
+    width = n + 2 * HALO
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+
+    def _moff_tile(t, m):
+        a = arg_ref[:, pl.ds(HALO + t * TILE, TILE)]
+        pos = lanes + t * TILE
+        return jnp.maximum(m, jnp.max(jnp.abs(a - pos)))
+
+    moff = lax.fori_loop(0, n_tiles, _moff_tile, jnp.int32(0))
+
+    for it in range(n_tiles):
+        out_ref[:, pl.ds(it * TILE, TILE)] = jnp.zeros(
+            (block_rows, TILE), F32)
+
+    def banded_sweep(_):
+        gw0 = pltpu.roll(g_ref[:, :], moff + (width - HALO), axis=1)
+        aw0 = pltpu.roll(arg_ref[:, :], moff + (width - HALO), axis=1)
+
+        def body(k, carry):
+            gw, aw = carry
+            for it in range(n_tiles):
+                sl = pl.ds(it * TILE, TILE)
+                jpos = lanes + it * TILE
+                hit = aw[:, it * TILE:(it + 1) * TILE] == jpos
+                out_ref[:, sl] = out_ref[:, sl] + jnp.where(
+                    hit, gw[:, it * TILE:(it + 1) * TILE], 0.0)
+            return (pltpu.roll(gw, width - 1, axis=1),
+                    pltpu.roll(aw, width - 1, axis=1))
+
+        lax.fori_loop(0, 2 * moff + 1, body, (gw0, aw0))
+        return 0
+
+    def tiled_all(_):
+        jlanes3 = lax.broadcasted_iota(I32, (1, 1, TILE), 2)
+
+        def per_target_tile(jt, _):
+            j0 = jt * TILE
+            it_lo = jnp.maximum((j0 - moff) // TILE, 0)
+            it_hi = jnp.minimum((j0 + TILE + moff + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_source_tile(it, acc):
+                i0 = it * TILE
+                g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
+                a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
+                hit = a_i[:, :, None] == (jlanes3 + j0)
+                contrib = jnp.where(hit, g_i[:, :, None], 0.0)
+                return acc + jnp.sum(contrib, axis=1)
+
+            acc = lax.fori_loop(it_lo, it_hi, per_source_tile,
+                                jnp.zeros((block_rows, TILE), F32))
+            out_ref[:, pl.ds(j0, TILE)] = acc
+            return 0
+
+        lax.fori_loop(0, n_tiles, per_target_tile, 0)
+        return 0
+
+    lax.cond(moff <= TILE, banded_sweep, tiled_all, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
+                                             "row_sweep"))
+def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
+                        row_sweep=True):
     """VJP routing for minplus_argmin_pallas: (R, n) g, argj -> df (R, n)."""
     R, n = g.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
+    if n_tiles > 16:
+        row_sweep = False
 
     gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=HALO)
     # pad argj with its own global position (links of length 0, g == 0)
     pos = jnp.broadcast_to(jnp.arange(-HALO, np_ + HALO, dtype=jnp.int32),
                            (Rp, np_ + 2 * HALO))
     ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
+    kernel = (_minplus_grad_rowsweep_kernel if row_sweep
+              else _minplus_grad_kernel)
     out = pl.pallas_call(
-        functools.partial(_minplus_grad_kernel, n_tiles=n_tiles,
+        functools.partial(kernel, n_tiles=n_tiles,
                           block_rows=block_rows),
         grid=(Rp // block_rows,),
         in_specs=[

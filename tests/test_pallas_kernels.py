@@ -146,9 +146,13 @@ def test_argmin_kernel_matches_jnp():
         w2 = jnp.float32(1.3)
         i = jnp.arange(300, dtype=jnp.float32)
         cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
-        d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True)
-        assert np.array_equal(np.array(d), np.array(jnp.min(cost, -1))), seed
-        assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1))), seed
+        for sweep in (False, True):
+            d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True,
+                                            row_sweep=sweep)
+            assert np.array_equal(np.array(d), np.array(jnp.min(cost, -1))), (
+                seed, sweep)
+            assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1))
+                                  ), (seed, sweep)
 
 
 def _soft_cases():
@@ -224,8 +228,9 @@ def test_grad_gather_kernel_matches_scatter():
         rows = np.arange(R)[:, None]
         ref = np.zeros((R, n), np.float32)
         np.add.at(ref, (rows.repeat(n, 1), argj), g)
-        out = np.array(
-            pk.minplus_grad_pallas(jnp.asarray(g), jnp.asarray(argj),
-                                   interpret=True)
-        )
-        assert np.allclose(out, ref, atol=1e-5)
+        for sweep in (False, True):
+            out = np.array(
+                pk.minplus_grad_pallas(jnp.asarray(g), jnp.asarray(argj),
+                                       interpret=True, row_sweep=sweep)
+            )
+            assert np.allclose(out, ref, atol=1e-5), (seed, sweep)
