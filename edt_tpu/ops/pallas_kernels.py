@@ -1137,13 +1137,199 @@ def _softmin_kernel(w2_ref, t_ref, f_ref, out_ref, *, n_tiles, block_rows,
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def softmin_pallas(f, w2, t, interpret=False, block_rows=MP_BLOCK_ROWS):
+def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
+                             *, n_tiles, block_rows, probe_r=BAND_MAX_R):
+    """Offset-major softmin: whole-row rolls shared across tiles for both
+    the hard-min phase (probe + gated extension + tiled fallback) and the
+    shifted exp accumulation (min and sum both continue across sweeps, so
+    no tie bookkeeping is needed anywhere). Tiles whose contributing
+    radius exceeds a tile fall back to per-tile tile-pair scans; such
+    tiles are excluded from the exp sweep so nothing double-counts."""
+    w2 = w2_ref[0]
+    t = t_ref[0]
+    invt = 1.0 / t
+    n = n_tiles * TILE
+    width = n + 2 * HALO
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (jj - ii).astype(F32)  # [j, i] = i - j
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+    w0 = f_ref[:, :]
+
+    for it in range(n_tiles):
+        out_ref[:, pl.ds(it * TILE, TILE)] = jnp.full(
+            (block_rows, TILE), _INF, F32)
+
+    def min_sweep(lo_k, hi_k, gate):
+        """min-update all (gated) tiles over offsets kk in [lo_k, hi_k]."""
+        wk0 = pltpu.roll(w0, (width - HALO) - lo_k, axis=1)
+
+        def body(k, wk):
+            kk = (lo_k + k).astype(F32)
+            q = w2 * (kk * kk)
+            for it in range(n_tiles):
+                sl = pl.ds(it * TILE, TILE)
+
+                def do(_):
+                    cand = wk[:, it * TILE:(it + 1) * TILE] + q
+                    out_ref[:, sl] = jnp.minimum(out_ref[:, sl], cand)
+                    return 0
+
+                if gate is None:
+                    do(0)
+                else:
+                    lax.cond(gate(it), do, lambda _: 0, 0)
+            return pltpu.roll(wk, width - 1, axis=1)
+
+        lax.fori_loop(0, hi_k - lo_k + 1, body, wk0)
+
+    # ---- phase A: dmin ----
+    min_sweep(jnp.int32(-probe_r), jnp.int32(probe_r), None)
+
+    def calc_radius(extra, floor_r):
+        """Per-tile radii into rad_ref; returns the max sweep radius over
+        tiles whose radius exceeds floor_r (capped at a tile)."""
+        def body(it, mx):
+            bound = jnp.max(out_ref[:, pl.ds(it * TILE, TILE)], axis=1,
+                            keepdims=True) + extra
+            radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
+            rad_ref[it] = radius
+            return jnp.maximum(
+                mx, jnp.where(radius > floor_r,
+                              jnp.minimum(radius, jnp.int32(TILE)), 0))
+        return lax.fori_loop(0, n_tiles, body, jnp.int32(0))
+
+    rmax_ext = calc_radius(0.0, probe_r)
+
+    def needs_ext(it):
+        return rad_ref[it] > probe_r
+
+    def extend(_):
+        min_sweep(-rmax_ext, jnp.int32(-(probe_r + 1)), needs_ext)
+        min_sweep(jnp.int32(probe_r + 1), rmax_ext, needs_ext)
+        return 0
+
+    lax.cond(rmax_ext > probe_r, extend, lambda _: 0, 0)
+    calc_radius(0.0, probe_r)
+
+    def tiled_min_tile(it, _):
+        i0 = it * TILE
+        radius = rad_ref[it]
+        swept = jnp.maximum(rmax_ext, jnp.int32(probe_r))
+
+        def tiled(_):
+            ub = jnp.max(out_ref[:, pl.ds(i0, TILE)])
+            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_candidate_tile(jt, acc):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                tg = jnp.maximum(jnp.abs(i0 - j0) - TILE + 1, 0).astype(F32)
+                lo_cost = jnp.min(f_j) + w2 * tg * tg
+
+                def work(acc):
+                    d = dmat + (i0 - j0).astype(F32)
+                    cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
+                    return jnp.minimum(acc, jnp.min(cost, axis=1))
+
+                return lax.cond(lo_cost > ub, lambda a: a, work, acc)
+
+            acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
+                                out_ref[:, pl.ds(i0, TILE)])
+            out_ref[:, pl.ds(i0, TILE)] = acc
+            return 0
+
+        lax.cond(radius > swept, tiled, lambda _: 0, 0)
+        return 0
+
+    lax.fori_loop(0, n_tiles, tiled_min_tile, 0)
+
+    # ---- phase B: shifted exp accumulation ----
+    # floor -1: every tile joins the sweep (even radius 0 needs its k=0
+    # term); rs_max >= 1 whenever any real data exists
+    rs_max = calc_radius(SOFT_CUT * t, -1)  # rad_ref now holds soft radii
+
+    for it in range(n_tiles):
+        s_scr[:, pl.ds(it * TILE, TILE)] = jnp.zeros((block_rows, TILE), F32)
+
+    def sweep_ok(it):
+        return rad_ref[it] <= jnp.int32(TILE)
+
+    def exp_sweep(_):
+        wk0 = pltpu.roll(w0, rs_max + (width - HALO), axis=1)
+
+        def body(k, wk):
+            kk = (k - rs_max).astype(F32)
+            q = w2 * (kk * kk)
+            for it in range(n_tiles):
+                sl = pl.ds(it * TILE, TILE)
+
+                def do(_):
+                    cost = wk[:, it * TILE:(it + 1) * TILE] + q
+                    dmin = out_ref[:, sl]
+                    s_scr[:, sl] = s_scr[:, sl] + jnp.exp(
+                        (dmin - cost) * invt)
+                    return 0
+
+                lax.cond(sweep_ok(it), do, lambda _: 0, 0)
+            return pltpu.roll(wk, width - 1, axis=1)
+
+        lax.fori_loop(0, 2 * rs_max + 1, body, wk0)
+        return 0
+
+    lax.cond(rs_max > 0, exp_sweep, lambda _: 0, 0)
+
+    def finish_tile(it, _):
+        i0 = it * TILE
+        radius = rad_ref[it]
+        dmin = out_ref[:, pl.ds(i0, TILE)]
+
+        def tiled_exp(_):
+            ub_s = jnp.max(dmin) + SOFT_CUT * t
+            jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
+            jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
+                                n_tiles)
+
+            def per_candidate_tile(jt, s):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                tg = jnp.maximum(jnp.abs(i0 - j0) - TILE + 1, 0).astype(F32)
+                lo_cost = jnp.min(f_j) + w2 * tg * tg
+
+                def work(s):
+                    d = dmat + (i0 - j0).astype(F32)
+                    cost = f_j[:, :, None] + (w2 * (d * d))[None, :, :]
+                    p = jnp.exp((dmin[:, None, :] - cost) * invt)
+                    return s + jnp.sum(p, axis=1)
+
+                return lax.cond(lo_cost > ub_s, lambda s: s, work, s)
+
+            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
+                                 jnp.zeros((block_rows, TILE), F32))
+
+        s = lax.cond(radius <= jnp.int32(TILE),
+                     lambda _: s_scr[:, pl.ds(i0, TILE)], tiled_exp, 0)
+        d = jnp.where(s > 0, dmin - t * jnp.log(s), dmin)
+        out_ref[:, pl.ds(i0, TILE)] = d
+        return 0
+
+    lax.fori_loop(0, n_tiles, finish_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
+                                             "row_sweep"))
+def softmin_pallas(f, w2, t, interpret=False, block_rows=MP_BLOCK_ROWS,
+                   row_sweep=True):
     """(R, n) f32 -> softmin-plus along rows at temperature t (> 0)."""
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
+    if n_tiles > 16:
+        row_sweep = False
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     w2v = jnp.asarray(w2, F32).reshape(1)
@@ -1154,13 +1340,22 @@ def softmin_pallas(f, w2, t, interpret=False, block_rows=MP_BLOCK_ROWS):
     f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
                           memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if row_sweep:
+        kernel = functools.partial(_softmin_rowsweep_kernel, n_tiles=n_tiles,
+                                   block_rows=block_rows)
+        scratch = [pltpu.VMEM((block_rows, np_), F32),
+                   pltpu.SMEM((n_tiles,), jnp.int32)]
+    else:
+        kernel = functools.partial(_softmin_kernel, n_tiles=n_tiles,
+                                   block_rows=block_rows)
+        scratch = []
     out = pl.pallas_call(
-        functools.partial(_softmin_kernel, n_tiles=n_tiles,
-                          block_rows=block_rows),
+        kernel,
         grid=(Rp // block_rows,),
         in_specs=[scalar_spec, scalar_spec, f_spec],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(w2v, tv, fp)
     return out[:R, :n]
@@ -1273,15 +1468,112 @@ def _softmin_grad_kernel(w2_ref, t_ref, f_ref, d_ref, g_ref, df_ref, e_ref,
     lax.cond(radius <= TILE, banded_all, tiled_all, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def _softmin_grad_rowsweep_kernel(w2_ref, t_ref, f_ref, d_ref, g_ref,
+                                  df_ref, e_ref, *, n_tiles, block_rows):
+    """Offset-major softmin backward: rolled d/g/f buffers shared across
+    tiles; per offset each tile pays one exp for the df accumulation
+    (sources i = j + k) and one for the expected-quad accumulation
+    (sources j = i + k). Falls back to the per-tile tiled sweep when the
+    contributing radius exceeds a tile."""
+    w2 = w2_ref[0]
+    t = t_ref[0]
+    invt = 1.0 / t
+    n = n_tiles * TILE
+    width = n + 2 * HALO
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+    maxd_row = jnp.max(d_ref[:, :], axis=1, keepdims=True)
+    gap = _radius_gap(maxd_row + SOFT_CUT * t, minf_row)
+    radius = _radius_from_gap(gap, w2, n)
+
+    for it in range(n_tiles):
+        sl = pl.ds(it * TILE, TILE)
+        df_ref[:, sl] = jnp.zeros((block_rows, TILE), F32)
+        e_ref[:, sl] = jnp.zeros((block_rows, TILE), F32)
+
+    def banded_sweep(_):
+        shift0 = radius + (width - HALO)
+        dw0 = pltpu.roll(d_ref[:, :], shift0, axis=1)
+        gw0 = pltpu.roll(g_ref[:, :], shift0, axis=1)
+        fw0 = pltpu.roll(f_ref[:, :], shift0, axis=1)
+
+        def body(k, carry):
+            dw, gw, fw = carry
+            kk = (k - radius).astype(F32)
+            qk = kk * kk
+            wq = w2 * qk
+            for it in range(n_tiles):
+                sl = pl.ds(it * TILE, TILE)
+                vsl = slice(it * TILE, (it + 1) * TILE)
+                f_j = f_ref[:, pl.ds(HALO + it * TILE, TILE)]
+                d_j = d_ref[:, pl.ds(HALO + it * TILE, TILE)]
+                p_df = jnp.exp((dw[:, vsl] - f_j - wq) * invt)
+                df_ref[:, sl] = df_ref[:, sl] + gw[:, vsl] * p_df
+                p_e = jnp.exp((d_j - fw[:, vsl] - wq) * invt)
+                e_ref[:, sl] = e_ref[:, sl] + qk * p_e
+            roll1 = lambda x: pltpu.roll(x, width - 1, axis=1)
+            return roll1(dw), roll1(gw), roll1(fw)
+
+        lax.fori_loop(0, 2 * radius + 1, body, (dw0, gw0, fw0))
+        return 0
+
+    def tiled_all(_):
+        _softmin_grad_tiled_body(w2, t, invt, n, radius, f_ref, d_ref,
+                                 g_ref, df_ref, e_ref, n_tiles, block_rows)
+        return 0
+
+    lax.cond(radius <= TILE, banded_sweep, tiled_all, 0)
+
+
+def _softmin_grad_tiled_body(w2, t, invt, n, radius, f_ref, d_ref, g_ref,
+                             df_ref, e_ref, n_tiles, block_rows):
+    """Shared tiled fallback of the softmin backward (see
+    _softmin_grad_kernel's tiled_all for the derivation)."""
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (ii - jj).astype(F32)  # [i, j] = i - j
+
+    def per_j_tile(jt, _):
+        j0 = jt * TILE
+        f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+        it_lo = jnp.maximum((j0 - radius) // TILE, 0)
+        it_hi = jnp.minimum((j0 + TILE + radius + TILE - 1) // TILE,
+                            n_tiles)
+
+        def per_i_tile(it, acc_df):
+            i0 = it * TILE
+            d_i = d_ref[:, pl.ds(HALO + i0, TILE)]
+            g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
+            dd = dmat + (i0 - j0).astype(F32)
+            qq = dd * dd
+            p = jnp.exp(
+                (d_i[:, :, None] - f_j[:, None, :] - (w2 * qq)[None, :, :])
+                * invt
+            )
+            acc_df = acc_df + jnp.sum(g_i[:, :, None] * p, axis=1)
+            e_ref[:, pl.ds(i0, TILE)] += jnp.sum(p * qq[None, :, :], axis=2)
+            return acc_df
+
+        acc = lax.fori_loop(it_lo, it_hi, per_i_tile,
+                            jnp.zeros((block_rows, TILE), F32))
+        df_ref[:, pl.ds(j0, TILE)] = acc
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_j_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
+                                             "row_sweep"))
 def softmin_grad_pallas(f, d, g, w2, t, interpret=False,
-                        block_rows=MP_BLOCK_ROWS):
+                        block_rows=MP_BLOCK_ROWS, row_sweep=True):
     """VJP for softmin_pallas: returns (df, e) with e[i] = E_p[quad] so the
     caller reduces dw2 = sum(g * e)."""
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
+    if n_tiles > 16:
+        row_sweep = False
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     dp = _pad_to(d.astype(F32), Rp, np_, -_INF, halo=HALO)
@@ -1294,9 +1586,10 @@ def softmin_grad_pallas(f, d, g, w2, t, interpret=False,
     halo_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
                              memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = (_softmin_grad_rowsweep_kernel if row_sweep
+              else _softmin_grad_kernel)
     df, e = pl.pallas_call(
-        functools.partial(_softmin_grad_kernel, n_tiles=n_tiles,
-                          block_rows=block_rows),
+        functools.partial(kernel, n_tiles=n_tiles, block_rows=block_rows),
         grid=(Rp // block_rows,),
         in_specs=[scalar_spec, scalar_spec, halo_spec, halo_spec, halo_spec],
         out_specs=(row_spec, row_spec),

@@ -176,16 +176,19 @@ def _soft_cases():
 
 def test_softmin_kernel_matches_logsumexp():
     """Softmin forward kernel == exact O(n^2) logsumexp to f32 round-off
-    (the SOFT_CUT-dropped terms sit below accumulator resolution)."""
+    (the SOFT_CUT-dropped terms sit below accumulator resolution), in both
+    the row-sweep and per-tile variants."""
     for f, w2, t in _soft_cases():
         fj = jnp.asarray(f)
         n = f.shape[1]
         i = jnp.arange(n, dtype=jnp.float32)
         cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
         ref = np.array(-t * jax.nn.logsumexp(-cost / t, axis=-1))
-        out = np.array(pk.softmin_pallas(fj, jnp.float32(w2), jnp.float32(t),
-                                         interpret=True))
-        assert np.allclose(out, ref, rtol=1e-5, atol=1e-4), (w2, t)
+        for sweep in (True, False):
+            out = np.array(pk.softmin_pallas(
+                fj, jnp.float32(w2), jnp.float32(t), interpret=True,
+                row_sweep=sweep))
+            assert np.allclose(out, ref, rtol=1e-5, atol=1e-4), (w2, t, sweep)
 
 
 def test_softmin_grad_kernel_matches_ad():
@@ -205,12 +208,14 @@ def test_softmin_grad_kernel_matches_ad():
         g = jnp.asarray(rng.random(f.shape).astype(np.float32))
         ref_df, ref_dw2 = jax.vjp(exact, fj, w2j)[1](g)
         d = pk.softmin_pallas(fj, w2j, jnp.float32(t), interpret=True)
-        df, e = pk.softmin_grad_pallas(fj, d, g, w2j, jnp.float32(t),
-                                       interpret=True)
-        dw2 = jnp.sum(g * e)
-        assert np.allclose(np.array(df), np.array(ref_df),
-                           rtol=1e-4, atol=1e-4), (w2, t)
-        assert np.isclose(float(dw2), float(ref_dw2), rtol=1e-3), (w2, t)
+        for sweep in (True, False):
+            df, e = pk.softmin_grad_pallas(fj, d, g, w2j, jnp.float32(t),
+                                           interpret=True, row_sweep=sweep)
+            dw2 = jnp.sum(g * e)
+            assert np.allclose(np.array(df), np.array(ref_df),
+                               rtol=1e-4, atol=1e-4), (w2, t, sweep)
+            assert np.isclose(float(dw2), float(ref_dw2), rtol=1e-3), (
+                w2, t, sweep)
 
 
 def test_grad_gather_kernel_matches_scatter():
