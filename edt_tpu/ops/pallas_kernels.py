@@ -338,6 +338,9 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
     minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
 
     # ---- phase 1: per-tile radii (stored in SMEM scratch) ----
+    # rmax starts at -1 so "some tile is banded with radius 0" (constant
+    # rows — e.g. the all-ones cube's interior) still runs the k=0 sweep
+    # step; rmax stays -1 only when every tile goes tiled.
     def calc_radius(it, rmax):
         i0 = it * TILE
         f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
@@ -362,9 +365,9 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
             bound = jnp.max(jnp.minimum(f_i, bwall), axis=1, keepdims=True)
         radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
         rad_ref[it] = radius
-        return jnp.maximum(rmax, jnp.where(radius <= band_r, radius, 0))
+        return jnp.maximum(rmax, jnp.where(radius <= band_r, radius, -1))
 
-    rmax = lax.fori_loop(0, n_tiles, calc_radius, jnp.int32(0))
+    rmax = lax.fori_loop(0, n_tiles, calc_radius, jnp.int32(-1))
 
     # ---- phase 2: whole-row banded sweep over [-rmax, rmax] ----
     def init_tile(it, _):
@@ -393,7 +396,7 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
         lax.fori_loop(0, 2 * rmax + 1, body, wk)
         return 0
 
-    lax.cond(rmax > 0, sweep, lambda _: 0, 0)
+    lax.cond(rmax >= 0, sweep, lambda _: 0, 0)
 
     # ---- phase 3: tiled recompute for large-radius tiles + wall epilogue ----
     def per_target_tile(it, _):

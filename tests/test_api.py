@@ -206,7 +206,11 @@ def test_counters():
     snap = counters.snapshot()
     assert snap["transforms"] == 1
     assert snap["voxels"] == labels.size
-    edt.edtsq(np.zeros(8300, np.uint32))  # long axis -> host fallback (CPU)
+    # past the ACTIVE device ceiling (platform dependent: 8192 on CPU,
+    # 60000 with Pallas) -> host fallback; 1-D so the host path is instant
+    from edt_tpu import api
+
+    edt.edtsq(np.zeros(api._device_max_axis() + 8, np.uint32))
     assert counters.snapshot()["host_fallbacks"] == 1
 
 

@@ -115,6 +115,30 @@ def test_rowsweep_variant_matches(black_border, binary):
     assert np.array_equal(a[fin], b[fin])
 
 
+def test_rowsweep_constant_rows():
+    """Regression: constant rows (per-row gap 0 -> radius 0, the all-ones
+    cube's interior regime) must still scan their k=0 candidate — the
+    sweep guard once skipped them entirely, leaving INF."""
+    R = 300
+    i = np.arange(R, dtype=np.float32)
+    f2 = np.stack([i ** 2, i ** 2], axis=1)  # constant along each row
+    f2[0] = 0.0
+    lab2 = np.ones((R, 2), np.uint32)
+    lab2[0] = 0
+    fj, labj = jnp.asarray(f2), jnp.asarray(lab2)
+    for bb in (False, True):
+        for binary in (False, True):
+            ref = np.array(core.parabolic_pass_sq(
+                fj, labj, jnp.float32(1.0), bb, binary=binary))
+            out = np.array(core.parabolic_pass_sq(
+                fj, labj, jnp.float32(1.0), bb, binary=binary,
+                parabolic_fn=pk.make_parabolic_fn(interpret=True,
+                                                  row_sweep=True)))
+            fin = np.isfinite(ref)
+            assert np.array_equal(np.isfinite(out), fin), (bb, binary)
+            assert np.array_equal(out[fin], ref[fin]), (bb, binary)
+
+
 def test_fused_3d_composition_matches():
     rng = np.random.default_rng(5)
     labels = jnp.asarray(rng.integers(0, 4, size=(10, 11, 12)).astype(np.uint32))
