@@ -884,12 +884,16 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
-def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, *, n_tiles,
+def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
                                   block_rows):
     """Offset-major grad gather: whole-row rolls of g and argj shared
     across target tiles (same restructuring as the forward row sweep —
-    halves roll traffic vs per-tile 3-tile windows). Falls back to the
-    per-tile tiled scan when the block's max link exceeds a tile."""
+    halves roll traffic vs per-tile 3-tile windows). Links longer than a
+    tile are handled by a SUPPLEMENTAL pass that visits only source tiles
+    whose own max link exceeds the swept band (per-tile link maxima in
+    SMEM scratch), with a hit filter |argj - i| > band so nothing double
+    counts — one long link no longer drags the whole block through full
+    tile-pair gathers."""
     n = n_tiles * TILE
     width = n + 2 * HALO
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
@@ -897,20 +901,26 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, *, n_tiles,
     def _moff_tile(t, m):
         a = arg_ref[:, pl.ds(HALO + t * TILE, TILE)]
         pos = lanes + t * TILE
-        return jnp.maximum(m, jnp.max(jnp.abs(a - pos)))
+        mt = jnp.max(jnp.abs(a - pos))
+        m_ref[t] = mt
+        return jnp.maximum(m, mt)
 
     moff = lax.fori_loop(0, n_tiles, _moff_tile, jnp.int32(0))
+    rb = jnp.minimum(moff, jnp.int32(TILE))  # banded range
 
     for it in range(n_tiles):
         out_ref[:, pl.ds(it * TILE, TILE)] = jnp.zeros(
             (block_rows, TILE), F32)
 
     def banded_sweep(_):
-        gw0 = pltpu.roll(g_ref[:, :], moff + (width - HALO), axis=1)
-        aw0 = pltpu.roll(arg_ref[:, :], moff + (width - HALO), axis=1)
+        gw0 = pltpu.roll(g_ref[:, :], rb + (width - HALO), axis=1)
+        aw0 = pltpu.roll(arg_ref[:, :], rb + (width - HALO), axis=1)
 
         def body(k, carry):
             gw, aw = carry
+            # (per-(offset, tile) gating on per-tile link maxima was
+            # measured SLOWER — scalar cond overhead exceeds the saved
+            # (rows, 128) update)
             for it in range(n_tiles):
                 sl = pl.ds(it * TILE, TILE)
                 jpos = lanes + it * TILE
@@ -920,10 +930,14 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, *, n_tiles,
             return (pltpu.roll(gw, width - 1, axis=1),
                     pltpu.roll(aw, width - 1, axis=1))
 
-        lax.fori_loop(0, 2 * moff + 1, body, (gw0, aw0))
+        lax.fori_loop(0, 2 * rb + 1, body, (gw0, aw0))
         return 0
 
-    def tiled_all(_):
+    banded_sweep(0)
+
+    def supplement(_):
+        # long links only: source tiles with max link > rb, hits filtered
+        # to |argj - i| > rb (the band already credited the short ones)
         jlanes3 = lax.broadcasted_iota(I32, (1, 1, TILE), 2)
 
         def per_target_tile(jt, _):
@@ -934,21 +948,29 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, *, n_tiles,
 
             def per_source_tile(it, acc):
                 i0 = it * TILE
-                g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
-                a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
-                hit = a_i[:, :, None] == (jlanes3 + j0)
-                contrib = jnp.where(hit, g_i[:, :, None], 0.0)
-                return acc + jnp.sum(contrib, axis=1)
+
+                def work(acc):
+                    g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
+                    a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
+                    # fold the long-link filter into g before the minor-dim
+                    # expansion (Mosaic cannot expand i1 vectors)
+                    far = jnp.abs(a_i - (lanes + i0)) > rb
+                    g_far = jnp.where(far, g_i, 0.0)
+                    hit = a_i[:, :, None] == (jlanes3 + j0)
+                    contrib = jnp.where(hit, g_far[:, :, None], 0.0)
+                    return acc + jnp.sum(contrib, axis=1)
+
+                return lax.cond(m_ref[it] > rb, work, lambda a: a, acc)
 
             acc = lax.fori_loop(it_lo, it_hi, per_source_tile,
-                                jnp.zeros((block_rows, TILE), F32))
+                                out_ref[:, pl.ds(j0, TILE)])
             out_ref[:, pl.ds(j0, TILE)] = acc
             return 0
 
         lax.fori_loop(0, n_tiles, per_target_tile, 0)
         return 0
 
-    lax.cond(moff <= TILE, banded_sweep, tiled_all, 0)
+    lax.cond(moff > rb, supplement, lambda _: 0, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
@@ -970,6 +992,7 @@ def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
     ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
     kernel = (_minplus_grad_rowsweep_kernel if row_sweep
               else _minplus_grad_kernel)
+    scratch = [pltpu.SMEM((n_tiles,), jnp.int32)] if row_sweep else []
     out = pl.pallas_call(
         functools.partial(kernel, n_tiles=n_tiles,
                           block_rows=block_rows),
@@ -983,6 +1006,7 @@ def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
         out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(gp, ap)
     return out[:R, :n]
