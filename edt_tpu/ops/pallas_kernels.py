@@ -688,15 +688,15 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
     rmax_ext = calc_radius(store=True)
 
     # ---- extension sweeps (gated per tile on "probe was not enough") ----
-    def needs_ext(it):
-        return rad_ref[it] > probe_r
-
     def extend(_):
+        # ungated across tiles: candidates beyond a probe-complete tile's
+        # radius can never win or tie, and per-(offset, tile) scalar conds
+        # measured slower than just doing the (rows, 128) update
         # left chunk: kk descending from -(probe_r+1) to -rmax_ext, <=
         wl = pltpu.roll(w0, (probe_r + 1) + (width - HALO), axis=1)
 
         def left_body(k, wl):
-            upd_tiles(wl, -(probe_r + 1) - k, cmp_le=True, gate=needs_ext)
+            upd_tiles(wl, -(probe_r + 1) - k, cmp_le=True, gate=None)
             return pltpu.roll(wl, 1, axis=1)
 
         lax.fori_loop(0, rmax_ext - probe_r, left_body, wl)
@@ -705,7 +705,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
         wr = pltpu.roll(w0, (width - HALO) - (probe_r + 1), axis=1)
 
         def right_body(k, wr):
-            upd_tiles(wr, (probe_r + 1) + k, cmp_le=False, gate=needs_ext)
+            upd_tiles(wr, (probe_r + 1) + k, cmp_le=False, gate=None)
             return pltpu.roll(wr, width - 1, axis=1)
 
         lax.fori_loop(0, rmax_ext - probe_r, right_body, wr)
@@ -1229,12 +1229,11 @@ def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
 
     rmax_ext = calc_radius(0.0, probe_r)
 
-    def needs_ext(it):
-        return rad_ref[it] > probe_r
-
     def extend(_):
-        min_sweep(-rmax_ext, jnp.int32(-(probe_r + 1)), needs_ext)
-        min_sweep(jnp.int32(probe_r + 1), rmax_ext, needs_ext)
+        # ungated: extra min candidates are harmless, and per-tile scalar
+        # conds measured slower than the updates they skip
+        min_sweep(-rmax_ext, jnp.int32(-(probe_r + 1)), None)
+        min_sweep(jnp.int32(probe_r + 1), rmax_ext, None)
         return 0
 
     lax.cond(rmax_ext > probe_r, extend, lambda _: 0, 0)
@@ -1282,9 +1281,6 @@ def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
     for it in range(n_tiles):
         s_scr[:, pl.ds(it * TILE, TILE)] = jnp.zeros((block_rows, TILE), F32)
 
-    def sweep_ok(it):
-        return rad_ref[it] <= jnp.int32(TILE)
-
     def exp_sweep(_):
         wk0 = pltpu.roll(w0, rs_max + (width - HALO), axis=1)
 
@@ -1292,16 +1288,13 @@ def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
             kk = (k - rs_max).astype(F32)
             q = w2 * (kk * kk)
             for it in range(n_tiles):
+                # ungated: tiles destined for tiled_exp discard s_scr at
+                # the selection in finish_tile, and per-tile scalar conds
+                # measured slower than the exp update they skip
                 sl = pl.ds(it * TILE, TILE)
-
-                def do(_):
-                    cost = wk[:, it * TILE:(it + 1) * TILE] + q
-                    dmin = out_ref[:, sl]
-                    s_scr[:, sl] = s_scr[:, sl] + jnp.exp(
-                        (dmin - cost) * invt)
-                    return 0
-
-                lax.cond(sweep_ok(it), do, lambda _: 0, 0)
+                cost = wk[:, it * TILE:(it + 1) * TILE] + q
+                dmin = out_ref[:, sl]
+                s_scr[:, sl] = s_scr[:, sl] + jnp.exp((dmin - cost) * invt)
             return pltpu.roll(wk, width - 1, axis=1)
 
         lax.fori_loop(0, 2 * rs_max + 1, body, wk0)
