@@ -33,7 +33,7 @@ from edt_tpu.api import (
 )
 from edt_tpu.rle import each, runs, draw, erase, transfer, reshape
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "edt", "edtsq", "sdf", "sdfsq",

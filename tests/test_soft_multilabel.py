@@ -1,0 +1,176 @@
+"""Wall-faithful differentiable multi-label EDT (models.soft.multilabel_edtsq).
+
+The forward must equal the hard multi-label ``edtsq`` EXACTLY — including
+the d = w^2 boundary-voxel rule (reference edt.hpp:99-103, README.md:21-24)
+— whenever occupancy is the foreground mask (or all-ones), and gradients
+must match finite differences / the binary soft transform within a label.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edt_tpu import api
+from edt_tpu.models import soft
+
+
+def _blocky_labels(rng, shape, n_labels=5, blk=4):
+    base = rng.integers(0, n_labels, size=tuple(-(-s // blk) for s in shape))
+    lab = np.kron(base, np.ones((blk,) * len(shape), dtype=np.int64))
+    return lab[tuple(slice(0, s) for s in shape)].astype(np.uint32)
+
+
+@pytest.mark.parametrize("black_border", [True, False])
+@pytest.mark.parametrize("aniso", [(1.0, 1.0, 1.0), (6.0, 6.0, 30.0)])
+def test_forward_equals_hard_edtsq_3d(black_border, aniso):
+    rng = np.random.default_rng(11)
+    labels = _blocky_labels(rng, (17, 14, 12))
+    hard = api.edtsq(labels, anisotropy=aniso, black_border=black_border)
+    sft = np.array(
+        soft.multilabel_edtsq(jnp.asarray(labels), anisotropy=aniso,
+                              black_border=black_border)
+    )
+    finite = np.isfinite(hard)
+    # integer anisotropy: w2 k^2 == (w k)^2 exactly in f32
+    np.testing.assert_array_equal(sft[finite], hard[finite])
+    if not finite.all():
+        # hard-INF voxels saturate at ~barrier in the soft transform
+        bar = float(soft.default_barrier(labels.shape, aniso))
+        assert np.all(sft[~finite] >= 0.5 * bar)
+
+
+def test_forward_equals_hard_edtsq_fractional_aniso():
+    rng = np.random.default_rng(3)
+    labels = _blocky_labels(rng, (13, 11), n_labels=4, blk=3)
+    aniso = (1.3, 2.7)
+    hard = api.edtsq(labels, anisotropy=aniso, black_border=True)
+    sft = np.array(
+        soft.multilabel_edtsq(jnp.asarray(labels), anisotropy=aniso,
+                              black_border=True)
+    )
+    # (w k)^2 vs w^2 k^2 differ by ~1 ulp for non-integer w
+    np.testing.assert_allclose(sft, hard, rtol=2e-6, atol=0)
+
+
+def test_boundary_voxels_at_distance_w():
+    # two labels touching: every voxel adjacent to the boundary must read
+    # d = w^2 along that axis (the wall-at-distance-w rule), NOT 0
+    labels = np.zeros((1, 8), np.uint32)
+    labels[0, :4] = 1
+    labels[0, 4:] = 2
+    d = np.array(
+        soft.multilabel_edtsq(jnp.asarray(labels), anisotropy=(1.0, 3.0),
+                              black_border=False)
+    )
+    assert d[0, 3] == 9.0 and d[0, 4] == 9.0
+    assert d[0, 2] == 36.0 and d[0, 5] == 36.0
+
+
+def test_occ_ones_zero_gradient():
+    rng = np.random.default_rng(5)
+    labels = _blocky_labels(rng, (9, 8, 7), n_labels=4, blk=3)
+    occ = jnp.ones(labels.shape, jnp.float32)
+    hard = api.edtsq(labels, black_border=True)
+
+    def loss(o):
+        return jnp.sum(
+            soft.multilabel_edtsq(jnp.asarray(labels), o, black_border=True,
+                                  binary_occupancy=True)
+        )
+
+    d = soft.multilabel_edtsq(jnp.asarray(labels), occ, black_border=True,
+                              binary_occupancy=True)
+    np.testing.assert_array_equal(np.array(d), hard)
+    g = np.array(jax.grad(loss)(occ))
+    # occ == 1: every finite distance is wall-determined -> zero gradient
+    np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
+def test_mask_occupancy_gradient_routes_to_background_sources():
+    rng = np.random.default_rng(7)
+    labels = _blocky_labels(rng, (10, 9, 8), n_labels=3, blk=3)
+    assert (labels == 0).any() and (labels != 0).any()
+    occ = jnp.asarray((labels != 0).astype(np.float32))
+
+    def loss(o):
+        return jnp.sum(
+            soft.multilabel_edtsq(jnp.asarray(labels), o, black_border=True,
+                                  binary_occupancy=True)
+        )
+
+    g = np.array(jax.grad(loss)(occ))
+    # foreground voxels (height = barrier) never win -> no gradient there
+    np.testing.assert_array_equal(g[labels != 0], 0.0)
+    # winning background sources receive gradient (multiples of barrier)
+    assert (g[labels == 0] > 0).any()
+
+
+def test_single_label_reduces_to_binary_soft():
+    rng = np.random.default_rng(9)
+    occ = jnp.asarray(np.clip(rng.random((6, 7, 8)), 0.1, 0.9)
+                      .astype(np.float32))
+    labels = jnp.ones(occ.shape, jnp.uint32)
+    aniso = (2.0, 1.0, 1.5)
+    for t in (0.0, 0.6):
+        a = soft.multilabel_edtsq(labels, occ, anisotropy=aniso,
+                                  black_border=True, barrier=90.0,
+                                  temperature=t)
+        b = soft.soft_edtsq(occ, aniso, black_border=True, barrier=90.0,
+                            temperature=t)
+        np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-6,
+                                   atol=1e-5)
+        ga = np.array(jax.grad(lambda o, tt=t: jnp.sum(
+            soft.multilabel_edtsq(labels, o, anisotropy=aniso,
+                                  black_border=True, barrier=90.0,
+                                  temperature=tt)))(occ))
+        gb = np.array(jax.grad(lambda o, tt=t: jnp.sum(
+            soft.soft_edtsq(o, aniso, black_border=True, barrier=90.0,
+                            temperature=tt)))(occ))
+        np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.5])
+def test_grad_matches_finite_differences(temperature):
+    rng = np.random.default_rng(13)
+    labels = _blocky_labels(rng, (4, 5, 6), n_labels=3, blk=2)
+    occ = jnp.asarray(np.clip(rng.random(labels.shape), 0.15, 0.85)
+                      .astype(np.float32))
+    aniso = (2.0, 1.0, 1.5)
+
+    def loss(o):
+        return jnp.sum(
+            soft.multilabel_edtsq(jnp.asarray(labels), o, anisotropy=aniso,
+                                  black_border=True, barrier=60.0,
+                                  temperature=temperature)
+        ) / o.size
+
+    g = np.array(jax.grad(loss)(occ))
+    eps = 1e-3
+    flat = occ.reshape(-1)
+    basis = jnp.eye(flat.size, dtype=jnp.float32) * eps
+
+    def fd_one(e):
+        ev = e.reshape(occ.shape)
+        return (loss(occ + ev) - loss(occ - ev)) / (2 * eps)
+
+    fd = np.array(jax.lax.map(fd_one, basis)).reshape(occ.shape)
+    close = np.isclose(g, fd, rtol=3e-2, atol=1.5e-3)
+    if temperature > 0:
+        assert close.all(), (np.argwhere(~close)[:5], g[~close], fd[~close])
+    else:
+        # t=0 subgradient: only argmin-tie voxels may disagree with FD
+        assert close.mean() >= 0.94, (close.mean(), np.argwhere(~close)[:5])
+
+
+def test_2d_and_1d_parity():
+    rng = np.random.default_rng(21)
+    for shape, aniso in (((15, 9), (2.0, 1.0)), ((23,), (3.0,))):
+        labels = _blocky_labels(rng, shape, n_labels=4, blk=3)
+        hard = api.edtsq(labels, anisotropy=aniso, black_border=True)
+        sft = np.array(
+            soft.multilabel_edtsq(jnp.asarray(labels), anisotropy=aniso,
+                                  black_border=True)
+        )
+        np.testing.assert_array_equal(sft, hard)
