@@ -26,15 +26,28 @@ from edt_tpu.utils import host_reference
 
 # Axes longer than this use the host fallback. The Pallas kernels stream
 # rows through VMEM with radius-pruned candidate windows, so long axes are
-# fine on TPU (bounded by a (block_rows, n + 2*HALO) f32 block fitting
-# VMEM); the jnp min-plus used elsewhere is O(n^2/row), so off-TPU the
-# ceiling stays low (only plausible for extremely thin/elongated arrays).
-_DEVICE_MAX_AXIS = 8192
-_DEVICE_MAX_AXIS_PALLAS = 60000
+# fine on TPU; the ceiling is the per-grid-block VMEM footprint at
+# block_rows=32 against the ~16 MB budget:
+#   binary/walls path: f (n + 2*HALO) + out (n) f32 blocks
+#     -> 32 * 4 * (2n + 256) B  => n ~ 60k
+#   masked multi-label path: + seg_start/seg_end int32 blocks
+#     -> 32 * 4 * (4n + 256) B  => n ~ 30k (28k with headroom)
+# The jnp min-plus used elsewhere is O(n^2/row); on non-TPU backends the
+# vectorized host banded path beats it well before that, so off-TPU the
+# device ceiling is the jnp comfort zone (~256).
+_DEVICE_MAX_AXIS_TPU_JNP = 8192
+_DEVICE_MAX_AXIS_OFF_TPU = 128
+_DEVICE_MAX_AXIS_PALLAS_BINARY = 60000
+_DEVICE_MAX_AXIS_PALLAS_MASKED = 28000
 
 
-def _device_max_axis() -> int:
-    return _DEVICE_MAX_AXIS_PALLAS if _use_pallas() else _DEVICE_MAX_AXIS
+def _device_max_axis(masked: bool = True) -> int:
+    if _use_pallas():
+        return (_DEVICE_MAX_AXIS_PALLAS_MASKED if masked
+                else _DEVICE_MAX_AXIS_PALLAS_BINARY)
+    if jax.default_backend() == "tpu":
+        return _DEVICE_MAX_AXIS_TPU_JNP
+    return _DEVICE_MAX_AXIS_OFF_TPU
 
 
 def _shard_min_voxels() -> int:
@@ -195,7 +208,7 @@ def edtsq(
         result = vg.edtsq_voxel_graph(
             data, voxel_graph, anisotropy, bool(black_border), arr_order
         )
-    elif max(data.shape) > _device_max_axis():
+    elif max(data.shape) > _device_max_axis(masked=not take_binary):
         counters.host_fallbacks += 1
         result = host_reference.edtsq_host(data, anisotropy, bool(black_border))
     else:

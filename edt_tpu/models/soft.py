@@ -448,35 +448,46 @@ def _make_minplus_hard_walled(binary_heights):
     tile-pair gathers — measured 3x the entire backward at 512^3.
     """
 
-    def fwd_impl(f, w2):
+    def fwd_impl(f, w2, walls):
+        """(out, argj_enc): wall-clamped min-plus; wall wins carry
+        argj_enc = ~i (negative), candidate wins their argmin index."""
+        if not binary_heights and _use_pallas():
+            # fused kernel: wall min + arg encoding + wall-capped radius
+            # pruning happen in-kernel (one stream, no clamp round-trip)
+            from edt_tpu.ops import pallas_kernels
+
+            return pallas_kernels.minplus_argmin_pallas(f, w2, walls=walls)
         if binary_heights:
-            return _minplus_hard_binary_with_arg(f, w2)
-        return _minplus_hard_with_arg(f, w2)
+            d, argj = _minplus_hard_binary_with_arg(f, w2)
+        else:
+            d, argj = _minplus_hard_with_arg(f, w2)
+        win = d <= walls
+        idx = jnp.arange(f.shape[1], dtype=jnp.int32)[None, :]
+        return jnp.where(win, d, walls), jnp.where(win, argj, ~idx)
 
     @jax.custom_vjp
     def mhw(f, w2, walls):
-        d, _ = fwd_impl(f, w2)
-        return jnp.where(d <= walls, d, walls)
+        return fwd_impl(f, w2, walls)[0]
 
     def fwd(f, w2, walls):
-        d, argj = fwd_impl(f, w2)
-        win = d <= walls
-        idx = jnp.arange(f.shape[1], dtype=jnp.int32)[None, :]
-        return (jnp.where(win, d, walls),
-                (jnp.where(win, argj, idx), win, w2, f.shape[1]))
+        out, argj = fwd_impl(f, w2, walls)
+        return out, (argj, w2, f.shape[1])
 
     def bwd(res, g):
-        argj, win, w2, n = res
+        argj, w2, n = res
+        win = argj >= 0
         gm = jnp.where(win, g, jnp.asarray(0.0, F32))
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+        links = jnp.where(win, argj, idx)  # wall wins: zero-length link
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
 
-            df = pallas_kernels.minplus_grad_pallas(gm, argj)
+            df = pallas_kernels.minplus_grad_pallas(gm, links)
         else:
             rows = jnp.arange(argj.shape[0], dtype=jnp.int32)[:, None]
-            df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(gm)
+            df = jnp.zeros(g.shape, g.dtype).at[rows, links].add(gm)
         i = jnp.arange(n, dtype=F32)[None, :]
-        dw2 = jnp.sum(gm * (i - argj.astype(F32)) ** 2)
+        dw2 = jnp.sum(gm * (i - links.astype(F32)) ** 2)
         return df, dw2, jnp.where(win, jnp.asarray(0.0, F32), g)
 
     mhw.defvjp(fwd, bwd)

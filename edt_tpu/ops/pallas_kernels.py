@@ -462,8 +462,13 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
 # ---------------------------------------------------------------------------
 
 
-def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
-                           block_rows, arg_band_r=48):
+def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
+                           block_rows, arg_band_r=48, walled=False):
+    if walled:
+        walls_ref, out_ref, arg_ref = rest
+    else:
+        walls_ref = None
+        out_ref, arg_ref = rest
     w2 = w2_ref[0]
     n = n_tiles * TILE
     # (TILE, TILE) [j, i] = i - j; candidates j on SUBLANES, targets i on
@@ -511,7 +516,9 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
         # clamp: padded-halo winners only occur for all-INF rows
         ahat = jnp.clip(ahat, 0, n - 1)
 
-        gap = _radius_gap(jnp.max(dhat, axis=1, keepdims=True), minf_row)
+        wall_i = walls_ref[:, pl.ds(i0, TILE)] if walled else None
+        dcap = jnp.minimum(dhat, wall_i) if walled else dhat
+        gap = _radius_gap(jnp.max(dcap, axis=1, keepdims=True), minf_row)
         radius = _radius_from_gap(gap, w2, n)
 
         def banded_done(_):
@@ -591,18 +598,23 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
             # genuinely long links fall through to the tile-pair scan.
             rw = jnp.minimum(radius, jnp.int32(min(arg_band_r, TILE)))
             best2, arg2 = banded_scan(rw)
-            gap2 = _radius_gap(jnp.max(best2, axis=1, keepdims=True),
+            bcap = jnp.minimum(best2, wall_i) if walled else best2
+            gap2 = _radius_gap(jnp.max(bcap, axis=1, keepdims=True),
                                minf_row)
             r2 = _radius_from_gap(gap2, w2, n)
             return lax.cond(
                 r2 <= rw,
                 lambda _: (best2, arg2),
-                lambda _: tiled_scan(r2, jnp.max(best2)),
+                lambda _: tiled_scan(r2, jnp.max(bcap)),
                 0,
             )
 
         best, arg = lax.cond(radius <= R0, banded_done,
                              wide_then_maybe_tiled, 0)
+        if walled:
+            ww = wall_i < best  # ties stay with the min-plus candidate
+            best = jnp.where(ww, wall_i, best)
+            arg = jnp.where(ww, -(ilanes + i0) - 1, arg)
         out_ref[:, pl.ds(i0, TILE)] = best
         arg_ref[:, pl.ds(i0, TILE)] = arg
         return 0
@@ -610,9 +622,9 @@ def _minplus_argmin_kernel(w2_ref, f_ref, out_ref, arg_ref, *, n_tiles,
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
-def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
-                                    *, n_tiles, block_rows, arg_band_r=64,
-                                    probe_r=16):
+def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
+                                    n_tiles, block_rows, arg_band_r=64,
+                                    probe_r=16, walled=False):
     """Offset-major argmin variant: whole-row rolls shared across tiles.
 
     Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
@@ -622,7 +634,19 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
     the right chunk ascending with strict < — then radii recompute from
     the refined minima and only genuinely long-link tiles pay the pruned
     tile-pair scan (with tile-minima skipping).
+
+    walled=True streams a per-voxel constant upper bound ("wall" — the
+    multi-label boundary parabolas) that (a) caps every radius estimate —
+    barrier-height rows with no nearby source would otherwise explode the
+    scan — and (b) is min'd into the output in-kernel, with wall wins
+    (strictly below every candidate) encoded as arg = ~i so the VJP can
+    route their cotangents to the constant instead of a candidate.
     """
+    if walled:
+        walls_ref, out_ref, arg_ref, rad_ref = rest
+    else:
+        walls_ref = None
+        out_ref, arg_ref, rad_ref = rest
     w2 = w2_ref[0]
     n = n_tiles * TILE
     width = n + 2 * HALO
@@ -671,8 +695,12 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
 
     def calc_radius(store):
         def body(it, ext_max):
-            bound = jnp.max(out_ref[:, pl.ds(it * TILE, TILE)], axis=1,
-                            keepdims=True)
+            t = out_ref[:, pl.ds(it * TILE, TILE)]
+            if walled:
+                # the final value is min'd with the wall, so only
+                # candidates beating the wall matter for the radius
+                t = jnp.minimum(t, walls_ref[:, pl.ds(it * TILE, TILE)])
+            bound = jnp.max(t, axis=1, keepdims=True)
             radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
             if store:
                 rad_ref[it] = radius
@@ -724,7 +752,10 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
                             jnp.int32(probe_r))
 
         def tiled(_):
-            ub = jnp.max(out_ref[:, pl.ds(i0, TILE)])
+            cur = out_ref[:, pl.ds(i0, TILE)]
+            if walled:
+                cur = jnp.minimum(cur, walls_ref[:, pl.ds(i0, TILE)])
+            ub = jnp.max(cur)
             jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
             jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
                                 n_tiles)
@@ -763,8 +794,14 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
 
         lax.cond(radius > swept, tiled, lambda _: 0, 0)
         # clamp: padded-halo winners only occur for all-INF rows
-        arg_ref[:, pl.ds(i0, TILE)] = jnp.clip(
-            arg_ref[:, pl.ds(i0, TILE)], 0, n - 1)
+        arg = jnp.clip(arg_ref[:, pl.ds(i0, TILE)], 0, n - 1)
+        if walled:
+            wl = walls_ref[:, pl.ds(i0, TILE)]
+            best = out_ref[:, pl.ds(i0, TILE)]
+            ww = wl < best  # ties stay with the min-plus candidate
+            out_ref[:, pl.ds(i0, TILE)] = jnp.where(ww, wl, best)
+            arg = jnp.where(ww, -(lanes + i0) - 1, arg)
+        arg_ref[:, pl.ds(i0, TILE)] = arg
         return 0
 
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
@@ -774,13 +811,22 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, out_ref, arg_ref, rad_ref,
     jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
                               "row_sweep")
 )
-def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS,
-                          arg_band_r=48, row_sweep=True):
-    """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index."""
+def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
+                          block_rows=MP_BLOCK_ROWS, arg_band_r=48,
+                          row_sweep=True):
+    """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index.
+
+    walls: optional (R, n) f32 per-voxel constant upper bound, min'd into
+    the result in-kernel (multi-label boundary parabolas). Wall wins
+    (strictly below every candidate) return arg = ~i (negative); they also
+    cap the internal radius estimates, which is what keeps barrier-height
+    fields with sparse sources off the full tile-pair scan.
+    """
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
+    walled = walls is not None
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     w2v = jnp.asarray(w2, F32).reshape(1)
@@ -791,26 +837,31 @@ def minplus_argmin_pallas(f, w2, interpret=False, block_rows=MP_BLOCK_ROWS,
                             memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), f_spec]
+    operands = [w2v, fp]
+    if walled:
+        in_specs.append(row_spec)
+        operands.append(_pad_to(walls.astype(F32), Rp, np_, _INF, halo=0))
     if row_sweep:
         kernel = functools.partial(
             _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
-            block_rows=block_rows, arg_band_r=arg_band_r)
+            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled)
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
     else:
         kernel = functools.partial(
             _minplus_argmin_kernel, n_tiles=n_tiles,
-            block_rows=block_rows, arg_band_r=arg_band_r)
+            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled)
         scratch = []
     d, arg = pl.pallas_call(
         kernel,
         grid=(Rp // block_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), f_spec],
+        in_specs=in_specs,
         out_specs=(row_spec, row_spec),
         out_shape=(jax.ShapeDtypeStruct((Rp, np_), F32),
                    jax.ShapeDtypeStruct((Rp, np_), I32)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(w2v, fp)
+    )(*operands)
     return d[:R, :n], arg[:R, :n]
 
 
@@ -898,14 +949,18 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     width = n + 2 * HALO
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
-    def _moff_tile(t, m):
-        a = arg_ref[:, pl.ds(HALO + t * TILE, TILE)]
-        pos = lanes + t * TILE
-        mt = jnp.max(jnp.abs(a - pos))
-        m_ref[t] = mt
-        return jnp.maximum(m, mt)
+    # residual links o[i] = argj[i] - i over the whole padded row (0 in
+    # padding/halo where argj carries its own position and g == 0)
+    o_full = arg_ref[:, :] - (
+        lax.broadcasted_iota(I32, (block_rows, width), 1) - HALO)
+    g_full = g_ref[:, :]
 
-    moff = lax.fori_loop(0, n_tiles, _moff_tile, jnp.int32(0))
+    m = jnp.int32(0)
+    for t in range(n_tiles):
+        mt = jnp.max(jnp.abs(o_full[:, HALO + t * TILE:HALO + (t + 1) * TILE]))
+        m_ref[t] = mt
+        m = jnp.maximum(m, mt)
+    moff = m
     rb = jnp.minimum(moff, jnp.int32(TILE))  # banded range
 
     for it in range(n_tiles):
@@ -913,24 +968,26 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
             (block_rows, TILE), F32)
 
     def banded_sweep(_):
-        gw0 = pltpu.roll(g_ref[:, :], rb + (width - HALO), axis=1)
-        aw0 = pltpu.roll(arg_ref[:, :], rb + (width - HALO), axis=1)
+        # rotating-accumulator gather: the compare+select for link offset
+        # kk happens in FIXED (unrolled) index space — sel[i] = g[i] iff
+        # o[i] == kk — and lands in an accumulator whose alignment rotates
+        # by one lane per step (acc[:, c] holds df[c - HALO + s] at
+        # alignment s = kk). ONE incremental roll per offset (of acc)
+        # instead of two (of g and argj) — the rolls dominate the sweep —
+        # plus a single dynamic unrotation at the end.
+        def body(k, acc):
+            kk = k - rb
+            acc = acc + jnp.where(o_full == kk, g_full, 0.0)
+            return pltpu.roll(acc, width - 1, axis=1)  # s += 1
 
-        def body(k, carry):
-            gw, aw = carry
-            # (per-(offset, tile) gating on per-tile link maxima was
-            # measured SLOWER — scalar cond overhead exceeds the saved
-            # (rows, 128) update)
-            for it in range(n_tiles):
-                sl = pl.ds(it * TILE, TILE)
-                jpos = lanes + it * TILE
-                hit = aw[:, it * TILE:(it + 1) * TILE] == jpos
-                out_ref[:, sl] = out_ref[:, sl] + jnp.where(
-                    hit, gw[:, it * TILE:(it + 1) * TILE], 0.0)
-            return (pltpu.roll(gw, width - 1, axis=1),
-                    pltpu.roll(aw, width - 1, axis=1))
-
-        lax.fori_loop(0, 2 * rb + 1, body, (gw0, aw0))
+        acc0 = jnp.zeros((block_rows, width), F32)
+        acc = lax.fori_loop(0, 2 * rb + 1, body, acc0)
+        # loop left-rotated 2rb+1 times: alignment s = rb + 1, so
+        # df[j] = acc[:, j + HALO - rb - 1]; one left-shift restores it
+        final = pltpu.roll(acc, (width - HALO + rb + 1) % width, axis=1)
+        for it in range(n_tiles):
+            out_ref[:, pl.ds(it * TILE, TILE)] = final[
+                :, it * TILE:(it + 1) * TILE]
         return 0
 
     banded_sweep(0)

@@ -240,6 +240,36 @@ def test_reshape_stride_tricks():
     assert np.array_equal(flatf, arrf.ravel(order="F"))
 
 
+def test_off_tpu_long_axes_use_host_banded_path():
+    """On non-TPU backends, axes past the jnp min-plus comfort zone must
+    route to the vectorized host banded path (the jnp evaluation is
+    O(n^2/row) — a 256-axis volume used to take minutes on CPU while the
+    reference CPU does 512^3 in ~9 s). Values must equal the device
+    composition exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from edt_tpu import api
+    from edt_tpu.ops import compose
+    from edt_tpu.utils.profiling import counters
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("off-TPU dispatch rule")
+    assert api._device_max_axis() == api._DEVICE_MAX_AXIS_OFF_TPU
+    rng = np.random.default_rng(2)
+    labels = rng.integers(
+        0, 4, size=(api._DEVICE_MAX_AXIS_OFF_TPU + 32, 16, 15)
+    ).astype(np.uint32)
+    counters.reset()
+    got = edt.edtsq(labels, anisotropy=(2.0, 1.0, 1.5))
+    assert counters.snapshot()["host_fallbacks"] == 1
+    want = np.array(
+        compose.edtsq(jnp.asarray(labels), jnp.asarray((2.0, 1.0, 1.5)),
+                      False)
+    )
+    assert np.array_equal(got, want)
+
+
 def test_binary_flag_respected_by_host_fallback():
     """binary=True must reduce to the foreground mask before dispatch —
     including the long-axis host fallback (regression: the fallback used

@@ -179,6 +179,48 @@ def test_argmin_kernel_matches_jnp():
                                   ), (seed, sweep)
 
 
+def test_argmin_kernel_walled_matches_oracle():
+    """Walled argmin kernel (fused multi-label wall clamp): value ==
+    min(min-plus, wall), wall wins (strict) encoded as arg = ~i, ties kept
+    by the candidate — across source-rich, barrier-sparse, and
+    wall-everywhere regimes, both kernel variants."""
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = 300
+        f = (rng.random((9, n)) * 50).astype(np.float32)
+        f[rng.random((9, n)) > 0.6] = 0.0
+        walls = (rng.random((9, n)) * 60).astype(np.float32)
+        if seed == 2:
+            # barrier heights with sparse sources + moderate walls: the
+            # wall cap must keep radii bounded AND stay correct
+            f = np.full((9, n), 2.7e5, np.float32)
+            f[:, ::70] = 0.0
+            walls = (rng.random((9, n)) * 400).astype(np.float32)
+        if seed == 3:
+            # exact ties: wall value equals the candidate cost
+            f = np.full((9, n), 1000.0, np.float32)
+            f[:, ::10] = 0.0
+            walls = np.zeros((9, n), np.float32)
+            i = np.arange(n)
+            near = np.minimum(i % 10, 10 - (i % 10))
+            walls[:] = (near.astype(np.float32) ** 2) * 1.3
+        fj = jnp.asarray(f)
+        wj = jnp.asarray(walls)
+        w2 = jnp.float32(1.3)
+        i = jnp.arange(n, dtype=jnp.float32)
+        cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
+        dmp = np.array(jnp.min(cost, -1))
+        amp = np.array(jnp.argmin(cost, -1))
+        win = dmp <= walls
+        ref_d = np.where(win, dmp, walls)
+        ref_a = np.where(win, amp, ~np.arange(n)[None, :])
+        for sweep in (False, True):
+            d, a = pk.minplus_argmin_pallas(fj, w2, walls=wj,
+                                            interpret=True, row_sweep=sweep)
+            assert np.array_equal(np.array(d), ref_d), (seed, sweep)
+            assert np.array_equal(np.array(a), ref_a), (seed, sweep)
+
+
 def _soft_cases():
     """Random, barrier-height, and mixed fields (the soft-EDT regimes)."""
     cases = []
