@@ -65,6 +65,18 @@ def _use_pallas():
     return compose.use_pallas_default()
 
 
+def _all_devices_addressable() -> bool:
+    """True when auto-sharding from the NumPy API can span every device.
+
+    In a multi-process JAX setting len(jax.devices()) counts global
+    devices, but device_put to a NamedSharding spanning non-addressable
+    devices raises — multi-process volumes go through
+    edt_tpu.parallel.edtsq_sharded explicitly instead.
+    """
+    n = len(jax.devices())
+    return n > 1 and n == jax.local_device_count()
+
+
 def _order_of(data: np.ndarray) -> str:
     return "F" if data.flags.f_contiguous and not data.flags.c_contiguous else "C"
 
@@ -219,7 +231,7 @@ def edtsq(
         # edt.hpp:5-9 — we define it as nonzero == foreground).
         labels = _as_device_labels(data)
         if (labels.ndim == 3 and labels.size >= _shard_min_voxels()
-                and len(jax.devices()) > 1):
+                and _all_devices_addressable()):
             # volumes beyond the single-chip ceiling shard over all devices
             # (slab decomposition + all_to_all axis rotation); any shape is
             # accepted — reference parity with edt.pyx:300-310, which is

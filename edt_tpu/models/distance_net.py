@@ -94,14 +94,58 @@ def make_train_step(optimizer, anisotropy=(1.0, 1.0, 1.0), temperature=0.3,
     return step
 
 
+def _pad_flat(x, n_shards):
+    flat = x.reshape(-1)
+    pad = (-flat.size) % n_shards
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat
+
+
+def init_sharded_opt_state(mesh, optimizer, params, dp_axis="dp",
+                           sp_axis="sp"):
+    """Optimizer state for the reduce-scatter train step (ZeRO-style).
+
+    Moment leaves live on the flattened+padded parameter layout and are
+    sharded over ALL mesh devices (each device owns 1/N of every moment
+    buffer); scalar leaves (e.g. adam's count) stay replicated. Feed the
+    result to make_sharded_train_step(..., grad_reduce_scatter=True).
+    """
+    n = mesh.shape[dp_axis] * mesh.shape[sp_axis]
+    flat_params = jax.tree.map(lambda p: _pad_flat(p, n), params)
+    opt_state = optimizer.init(flat_params)
+    shard = NamedSharding(mesh, P((dp_axis, sp_axis)))
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, shard if jnp.ndim(x) else rep), opt_state
+    )
+
+
 def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
                             temperature=0.3, barrier=None,
-                            dp_axis="dp", sp_axis="sp"):
+                            dp_axis="dp", sp_axis="sp",
+                            grad_reduce_scatter=False, params_template=None):
     """Training step shard_map'd over a (dp, sp) mesh.
 
     feats: (B, X, Y, Z, C) sharded P(dp, sp); target: (B, X, Y, Z) P(dp, sp).
-    Params and optimizer state are replicated; gradients are psum'd over the
-    full mesh (the all_to_all inside the EDT stays within sp).
+    Params stay replicated; the all_to_all inside the EDT rides the sp
+    axis.
+
+    grad_reduce_scatter=False: gradients are psum'd over the full mesh and
+    the optimizer runs replicated (fine for small heads).
+
+    grad_reduce_scatter=True (the scaling-out comm pattern, SURVEY §5):
+    each gradient leaf is reduce-scattered (psum_scatter over sp then dp)
+    as its backward value becomes available — XLA schedules the
+    per-leaf collectives concurrently with the remaining backward, and a
+    reduce_scatter moves 1/N of the bytes a psum does — the optimizer then
+    updates only this device's 1/N parameter slice (optimizer state
+    sharded over the whole mesh; see init_sharded_opt_state), and the
+    updated slices are all_gathered back into replicated params: the psum
+    of gradients is replaced by reduce_scatter(grads) + all_gather(params),
+    which is the same total traffic but shards the optimizer memory and
+    compute N ways. Requires ``params_template`` (shapes only) and an
+    opt_state from init_sharded_opt_state.
     """
     if barrier is None:
         raise ValueError(
@@ -121,22 +165,75 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
         cnt = lax.psum(jnp.asarray(d.size, F32), (dp_axis, sp_axis))
         return se / cnt
 
+    if not grad_reduce_scatter:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def sharded_step(params, opt_state, feats, target_dt):
+            loss, grads = jax.value_and_grad(local_loss)(
+                params, feats, target_dt)
+            grads = lax.psum(grads, (dp_axis, sp_axis))
+            loss = lax.psum(loss, (dp_axis, sp_axis))
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(sharded_step)
+
+    if params_template is None:
+        raise ValueError("grad_reduce_scatter=True requires params_template")
+    n_dp, n_sp = mesh.shape[dp_axis], mesh.shape[sp_axis]
+    n = n_dp * n_sp
+    flat_struct = jax.eval_shape(
+        lambda ps: jax.tree.map(lambda p: _pad_flat(p, n), ps),
+        params_template,
+    )
+    opt_struct = jax.eval_shape(optimizer.init, flat_struct)
+    # moment buffers shard over the whole mesh; scalars stay replicated
+    opt_specs = jax.tree.map(
+        lambda x: P((dp_axis, sp_axis)) if x.ndim else P(), opt_struct
+    )
+
+    def _reduce_scatter(gleaf):
+        # reduce+scatter over sp first (grads of a dp row agree up to the
+        # sp-local batch slices), then over dp; shard order mirrors _gather
+        x = lax.psum_scatter(_pad_flat(gleaf, n), sp_axis,
+                             scatter_dimension=0, tiled=True)
+        return lax.psum_scatter(x, dp_axis, scatter_dimension=0, tiled=True)
+
+    def _gather(shard_leaf, template):
+        full = lax.all_gather(shard_leaf, dp_axis, axis=0, tiled=True)
+        full = lax.all_gather(full, sp_axis, axis=0, tiled=True)
+        return full[: template.size].reshape(template.shape)
+
+    def _own_slice(p):
+        flat = _pad_flat(p, n)
+        idx = lax.axis_index(sp_axis) * n_dp + lax.axis_index(dp_axis)
+        size = flat.size // n
+        return lax.dynamic_slice(flat, (idx * size,), (size,))
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), opt_specs, P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
+        out_specs=(P(), opt_specs, P()),
         check_vma=False,
     )
-    def sharded_step(params, opt_state, feats, target_dt):
+    def scatter_step(params, opt_state, feats, target_dt):
         loss, grads = jax.value_and_grad(local_loss)(params, feats, target_dt)
-        grads = lax.psum(grads, (dp_axis, sp_axis))
         loss = lax.psum(loss, (dp_axis, sp_axis))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        gshards = jax.tree.map(_reduce_scatter, grads)
+        pshards = jax.tree.map(_own_slice, params)
+        updates, opt_state = optimizer.update(gshards, opt_state, pshards)
+        new_shards = jax.tree.map(lambda p, u: p + u, pshards, updates)
+        params = jax.tree.map(_gather, new_shards, params)
         return params, opt_state, loss
 
-    return jax.jit(sharded_step)
+    return jax.jit(scatter_step)
 
 
 def synthetic_batch(key, batch, shape, c_in=8):

@@ -304,6 +304,13 @@ def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
     inside a shard_map over that mesh axis; the axis-0 pass rotates the
     sharded axis via all_to_all (differentiable — its transpose is the
     reverse all_to_all), exactly like edt_tpu.parallel.edtsq_sharded.
+    NOTE: the sharded axis-0 pass must run LAST (it owns the rotation), so
+    at temperature > 0 — where softmin composition is order-dependent —
+    sharded and single-chip results differ by a bounded smoothing term
+    (~exp(-gap/t) per pass reorder) whenever axis 0 is not the
+    largest-pitch axis; at temperature == 0 composition is
+    order-independent and results match exactly
+    (tests/test_sharded.py::test_sharded_multilabel_soft_matches_single).
 
     binary_heights: caller's promise that h takes exactly two values
     {0, B} (hard masks — the common inference case, or straight-through

@@ -210,15 +210,33 @@ def edtsq_voxel_graph(data, graph, anisotropy, black_border, arr_order):
     else:
         fg = (data != 0).astype(np.uint8)
 
-    from edt_tpu.api import _use_pallas
+    from edt_tpu.api import (_all_devices_addressable, _shard_min_voxels,
+                             _use_pallas)
 
-    out = _edtsq_voxel_graph_device(
-        jnp.asarray(fg),
-        jnp.asarray(graph),
-        jnp.asarray(anisotropy / 2.0, dtype=jnp.float32),
-        bool(black_border),
-        use_pallas=_use_pallas(),
-    )
+    if (nd == 3 and data.size * 8 >= _shard_min_voxels()
+            and _all_devices_addressable()):
+        # the voxel-graph variant materializes the 2x-doubled volume (8x
+        # voxels, reference edt_voxel_graph.hpp:10-24, README.md:83), so it
+        # hits the single-chip ceiling 8x sooner than the plain transform —
+        # shard when the DOUBLED size crosses the auto-shard threshold
+        # (per-shard doubling: the 8x volume never exists unsharded)
+        from edt_tpu.parallel import sharded
+        from edt_tpu.utils.profiling import counters
+
+        counters.sharded_dispatches += 1
+        out = sharded.edtsq_voxel_graph_sharded(
+            jnp.asarray(fg), jnp.asarray(graph),
+            jnp.asarray(anisotropy, dtype=jnp.float32), bool(black_border),
+            mesh=sharded.default_mesh(),
+        )
+    else:
+        out = _edtsq_voxel_graph_device(
+            jnp.asarray(fg),
+            jnp.asarray(graph),
+            jnp.asarray(anisotropy / 2.0, dtype=jnp.float32),
+            bool(black_border),
+            use_pallas=_use_pallas(),
+        )
     sub = np.array(out, order="C")
 
     if arr_order == "F":

@@ -67,3 +67,46 @@ def test_sharded_step_matches_single_device():
     assert np.isclose(float(l1), float(lN), rtol=1e-4)
     for k in params:
         assert np.allclose(np.array(p1[k]), np.array(pN[k]), atol=1e-5), k
+
+
+def test_reduce_scatter_step_matches_psum_step():
+    """The ZeRO-style reduce-scatter train step (sharded optimizer state,
+    psum replaced by reduce_scatter(grads) + all_gather(params)) must
+    produce the same parameters and loss as the replicated psum step."""
+    import optax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = jax.sharding.Mesh(devices, ("dp", "sp"))
+
+    key = jax.random.PRNGKey(2)
+    params = distance_net.init_params(key, c_in=4, hidden=8)
+    optimizer = optax.adam(1e-2)
+    B, X, Y, Z, C = 2, 4, 4, 4, 4
+    feats = jax.random.normal(key, (B, X, Y, Z, C), jnp.float32)
+    target = jnp.zeros((B, X, Y, Z), jnp.float32)
+    # barrier at the loss's distance scale so gradients are non-trivial
+    # (far above the wall cap they vanish and the comparison is vacuous)
+    barrier = 12.0
+
+    step_psum = distance_net.make_sharded_train_step(
+        mesh, optimizer, anisotropy=(1.0, 1.0, 1.0), temperature=0.3,
+        barrier=barrier,
+    )
+    p1, _, l1 = step_psum(params, optimizer.init(params), feats, target)
+
+    step_rs = distance_net.make_sharded_train_step(
+        mesh, optimizer, anisotropy=(1.0, 1.0, 1.0), temperature=0.3,
+        barrier=barrier, grad_reduce_scatter=True, params_template=params,
+    )
+    opt_rs = distance_net.init_sharded_opt_state(mesh, optimizer, params)
+    p2, opt_rs2, l2 = step_rs(params, opt_rs, feats, target)
+
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for k in params:
+        assert np.allclose(np.array(p1[k]), np.array(p2[k]), atol=1e-6), k
+    # second step consumes the returned (still-sharded) opt state
+    p3, _, l3 = step_rs(p2, opt_rs2, feats, target)
+    assert np.isfinite(float(l3)) and not np.allclose(
+        np.array(p3["w1"]), np.array(p2["w1"]))

@@ -137,6 +137,44 @@ def test_api_auto_shard_dispatch(monkeypatch):
     assert np.array_equal(want_b2[finite], want_b[finite])
 
 
+def test_api_auto_shard_dispatch_voxel_graph(monkeypatch):
+    """The NumPy API auto-shards voxel-graph volumes too (the 8x-memory
+    variant hits the single-chip ceiling first — the gate is on the
+    DOUBLED size), with identical values and the sharded-dispatch counter
+    bumped."""
+    import edt_tpu as edt
+    from edt_tpu.utils.profiling import counters
+
+    rng = np.random.default_rng(5)
+    shape = (9, 6, 7)
+    labels = rng.integers(0, 3, size=shape).astype(np.uint32)
+    graph = rng.integers(0, 64, size=shape).astype(np.uint8)
+    for black_border in (True, False):
+        want = edt.edtsq(labels, voxel_graph=graph,
+                         anisotropy=(2.0, 1.0, 1.0),
+                         black_border=black_border)
+        monkeypatch.setenv("EDT_TPU_SHARD_MIN_VOXELS", "1")
+        counters.reset()
+        got = edt.edtsq(labels, voxel_graph=graph,
+                        anisotropy=(2.0, 1.0, 1.0),
+                        black_border=black_border)
+        assert counters.snapshot()["sharded_dispatches"] == 1
+        monkeypatch.delenv("EDT_TPU_SHARD_MIN_VOXELS")
+        finite = np.isfinite(want)
+        assert np.array_equal(np.isfinite(got), finite)
+        assert np.allclose(got[finite], want[finite])
+    # F-order round trip through the sharded path
+    monkeypatch.setenv("EDT_TPU_SHARD_MIN_VOXELS", "1")
+    labf = np.asfortranarray(labels)
+    gf = np.asfortranarray(graph)
+    got_f = edt.edtsq(labf, voxel_graph=gf, anisotropy=(2.0, 1.0, 1.0),
+                      black_border=True)
+    monkeypatch.delenv("EDT_TPU_SHARD_MIN_VOXELS")
+    want_f = edt.edtsq(labf, voxel_graph=gf, anisotropy=(2.0, 1.0, 1.0),
+                       black_border=True)
+    assert np.allclose(got_f, want_f)
+
+
 @pytest.mark.parametrize("temperature", [0.0, 0.4])
 def test_sharded_soft_grad(temperature):
     from edt_tpu.models import soft
@@ -170,6 +208,49 @@ def test_sharded_soft_grad(temperature):
     g1 = jax.grad(run_sharded)(occ)
     g2 = jax.grad(run_single)(occ)
     assert np.allclose(np.array(g1), np.array(g2), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.5])
+def test_sharded_multilabel_soft_matches_single(temperature):
+    """Wall-faithful differentiable multi-label transform under sharding:
+    values and occupancy gradients match the single-device path."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from edt_tpu.models import soft
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(17)
+    shape = (8, 5, 8)
+    labels = jnp.asarray(rng.integers(0, 3, size=shape).astype(np.uint32))
+    occ = jnp.asarray(np.clip(rng.random(shape), 0.1, 0.95)
+                      .astype(np.float32))
+    kw = dict(anisotropy=(1.0, 1.0, 2.0), black_border=True, barrier=150.0,
+              temperature=temperature)
+
+    def run_sharded(lab, o):
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P("sp"), P("sp")), out_specs=P("sp"))
+        def f(lab, o):
+            return soft.multilabel_edtsq(lab, o, axis_name="sp", **kw)
+
+        return f(lab, o)
+
+    # t > 0: softmin composition is order-dependent and the sharded path
+    # must run the sharded axis 0 last (its pass needs the all_to_all), so
+    # when axis 0 is not the sorted-last axis the results differ by a
+    # bounded smoothing term ~exp(-gap/t) (documented in
+    # edtsq_from_heights); t == 0 composition is order-independent (exact)
+    rtol, atol = (1e-6, 1e-5) if temperature == 0 else (1e-3, 5e-4)
+    d_s = np.array(run_sharded(labels, occ))
+    d_1 = np.array(soft.multilabel_edtsq(labels, occ, **kw))
+    np.testing.assert_allclose(d_s, d_1, rtol=rtol, atol=atol)
+    g_s = jax.grad(lambda o: jnp.sum(run_sharded(labels, o)))(occ)
+    g_1 = jax.grad(lambda o: jnp.sum(
+        soft.multilabel_edtsq(labels, o, **kw)))(occ)
+    np.testing.assert_allclose(np.array(g_s), np.array(g_1), rtol=1e-3,
+                               atol=2e-3)
 
 
 def test_sharded_voxel_graph():
