@@ -152,10 +152,9 @@ def main():
 
     results = {}
     base = None
-    counts = [c for c in (1, 2, 4, 8, len(devs)) if c <= len(devs)]
+    counts = [c for c in (1, 2, 3, 4, 8, len(devs)) if c <= len(devs)]
     for c in sorted(set(counts)):
-        if S % c:
-            continue
+        # non-divisible device counts work too (pad + crop sharding)
         if c == 1:
             fn = jax.jit(lambda l: compose.edtsq(l, jnp.ones(3, jnp.float32), False))
             dt = time_call(lambda: jax.block_until_ready(fn(labels)))

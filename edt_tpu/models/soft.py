@@ -424,20 +424,43 @@ def _wall_field_sq(labels_ax, w2, black_border):
     border parabolas of the reference (edt.hpp:231-243) extended to every
     interior segment boundary. A constant w.r.t. heights (labels are
     discrete), so it carries no gradient.
-    """
-    from edt_tpu.ops import core
 
+    Computed with int16 scans AND int16 wall distances (distances are
+    bounded by the axis length; open borders become > n sentinels), so
+    only the final fused select-and-square materializes f32 — ~2x faster
+    at 512^3 than the int32 start/end + f32 two-sided gating formulation.
+    """
     n = labels_ax.shape[-1]
-    start, end = core.segment_bounds(labels_ax)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    li = (idx - start + 1).astype(F32)
-    ri = (end - idx).astype(F32)
-    lwall = w2 * li * li
-    rwall = w2 * ri * ri
-    if not black_border:
-        lwall = jnp.where(start > 0, lwall, INF)
-        rwall = jnp.where(end < n, rwall, INF)
-    return jnp.minimum(lwall, rwall)
+    if n > 16000:  # 2n+2 must fit int16; longer rows take the exact path
+        from edt_tpu.ops import core
+
+        start, end = core.segment_bounds(labels_ax)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        li = (idx - start + 1).astype(F32)
+        ri = (end - idx).astype(F32)
+        lwall = w2 * li * li
+        rwall = w2 * ri * ri
+        if not black_border:
+            lwall = jnp.where(start > 0, lwall, INF)
+            rwall = jnp.where(end < n, rwall, INF)
+        return jnp.minimum(lwall, rwall)
+
+    i16 = jnp.int16
+    axis = labels_ax.ndim - 1
+    idx = jnp.arange(n, dtype=i16)
+    neq = labels_ax[..., 1:] != labels_ax[..., :-1]
+    pad_shape = labels_ax.shape[:-1] + (1,)
+    edge = jnp.full(pad_shape, black_border, dtype=bool)
+    is_start = jnp.concatenate([edge, neq], axis=-1)
+    is_end = jnp.concatenate([neq, edge], axis=-1)
+    # li = i - start + 1 with start = last wall position; a missing marker
+    # (open-left run) yields li = i + n + 2 > n, the open sentinel
+    li = idx - lax.cummax(jnp.where(is_start, idx, i16(-(n + 1))),
+                          axis=axis) + 1
+    ri = lax.cummin(jnp.where(is_end, idx, i16(2 * n)), axis=axis,
+                    reverse=True) + 1 - idx
+    wmin = jnp.minimum(li, ri)  # <= 2n + 2, exact in int16
+    return jnp.where(wmin > n, INF, w2 * jnp.square(wmin.astype(F32)))
 
 
 @functools.lru_cache(maxsize=2)

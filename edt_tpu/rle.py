@@ -26,19 +26,27 @@ def reshape(arr, shape, order=None):
     """View ``arr`` with a new shape without copying when contiguous.
 
     Capability parity with the reference's stride-trick reshape
-    (edt.pyx:851-879), realized differently: when the array is contiguous
-    in ``order`` (detected from its flags if not given), NumPy's own
-    ``reshape(order=...)`` already returns a writable view over the same
-    memory — no manual stride arithmetic needed. Non-contiguous arrays
-    fall back to a plain (copying) reshape.
+    (edt.pyx:851-879): the new shape's strides are laid over the RAW
+    BUFFER in the requested ``order`` — so an explicit order that differs
+    from the array's own contiguity reinterprets the buffer (no copy, no
+    logical-order remap), exactly like the reference's as_strided version.
+    Realized without manual stride arithmetic: flatten in memory order
+    (a view), then reshape that 1-D view with the requested order (NumPy
+    returns a view for both). Non-contiguous arrays fall back to a plain
+    (copying) reshape — the reference's as_strided would silently read a
+    garbage layout there.
     """
+    c, f = arr.flags.c_contiguous, arr.flags.f_contiguous
     if order is None:
-        if arr.flags.f_contiguous and not arr.flags.c_contiguous:
+        if f and not c:
             order = "F"
-        elif arr.flags.c_contiguous:
+        elif c:
             order = "C"
         else:
             return arr.reshape(shape)
+    if c or f:
+        flat = arr.reshape(-1, order="F" if (f and not c) else "C")
+        return flat.reshape(shape, order=order)
     return arr.reshape(shape, order=order)
 
 

@@ -238,6 +238,19 @@ def test_reshape_stride_tricks():
     arrf = np.asfortranarray(arr)
     flatf = edt.reshape(arrf, (12,))
     assert np.array_equal(flatf, arrf.ravel(order="F"))
+    # explicit order that MISMATCHES contiguity reinterprets the raw
+    # buffer (reference as_strided semantics, edt.pyx:871-879), no copy
+    v = edt.reshape(arr, (4, 3), order="F")
+    assert np.shares_memory(v, arr)
+    itemsize = arr.itemsize
+    ref = np.lib.stride_tricks.as_strided(
+        arr, shape=(4, 3), strides=(itemsize, 4 * itemsize))
+    assert np.array_equal(v, ref)
+    vf = edt.reshape(arrf, (4, 3), order="C")
+    reff = np.lib.stride_tricks.as_strided(
+        arrf, shape=(4, 3), strides=(3 * itemsize, itemsize))
+    assert np.shares_memory(vf, arrf)
+    assert np.array_equal(vf, reff)
 
 
 def test_off_tpu_long_axes_use_host_banded_path():

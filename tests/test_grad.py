@@ -76,8 +76,6 @@ def test_grad_fd_full_volume(temperature, black_border):
         return (loss(occ + ev) - loss(occ - ev)) / (2 * eps)
 
     fd = np.array(jax.lax.map(fd_one, basis)).reshape(occ.shape)
-    # hard-min (t=0) has subgradient kinks; allow a few tie voxels to
-    # disagree, everything else must match FD closely
     # atol covers f32 finite-difference quantization: the FD numerator is
     # a difference of O(100) sums, so tiny true gradients carry ~1e-3
     # absolute noise (measured 6.6e-4 worst on TPU)
@@ -85,9 +83,25 @@ def test_grad_fd_full_volume(temperature, black_border):
     if temperature > 0:
         assert close.all(), (np.argwhere(~close), g[~close], fd[~close])
     else:
-        # t=0 is a subgradient: argmin-tie voxels legitimately disagree
-        # with central differences (measured ~5% of voxels here)
-        assert close.mean() >= 0.94, (close.mean(), np.argwhere(~close)[:5])
+        # t=0 is a subgradient: a voxel may disagree with the CENTRAL
+        # difference only if the loss has a kink (an argmin tie flip)
+        # within +-eps of its occupancy — prove it per disagreeing voxel:
+        # the one-sided gradients just above and below must differ, and
+        # our reported subgradient must equal one of them. A genuinely
+        # wrong gradient (smooth there, or matching neither side) fails.
+        grad_fn = jax.jit(jax.grad(loss))
+        bad = np.argwhere(~close)
+        assert len(bad) <= 0.06 * occ.size, (close.mean(), bad[:5])
+        for idx in map(tuple, bad):
+            e = jnp.zeros_like(occ).at[idx].set(eps)
+            gp = float(grad_fn(occ + e)[idx])
+            gm = float(grad_fn(occ - e)[idx])
+            assert not np.isclose(gp, gm, rtol=1e-3, atol=1e-4), (
+                idx, gp, gm, "disagreeing voxel is not at a kink")
+            gv = float(g[idx])
+            assert (np.isclose(gv, gp, rtol=3e-2, atol=1.5e-3)
+                    or np.isclose(gv, gm, rtol=3e-2, atol=1.5e-3)), (
+                idx, gv, gp, gm, "subgradient matches neither side slope")
 
 
 def test_grad_anisotropic_softmin():
