@@ -170,8 +170,26 @@ def main():
         for _label, img in edt.each(lab_each, mdt, in_place=True):
             count += 1
         t_each = time.perf_counter() - t0
+        # device-side masked extraction (jax_api.each_device): volumes stay
+        # on device — the host-kit comparison point for device pipelines
+        import edt_tpu.jax_api as edtj
+
+        lab_d = jnp.asarray(lab_each)
+        dt_d = jnp.asarray(mdt)
+        ids = [u for u in np.unique(lab_each).tolist() if u != 0]
+        for _l, img in edtj.each_device(lab_d, dt_d, ids=ids[:1]):
+            img.block_until_ready()  # warm/compile
+        t0 = time.perf_counter()
+        count_dev = 0
+        last = None
+        for _l, img in edtj.each_device(lab_d, dt_d, ids=ids):
+            last = img
+            count_dev += 1
+        last.block_until_ready()
+        t_dev = time.perf_counter() - t0
         results["each_extraction"] = {
             "edt_s": t_edt, "extract_s": t_each, "labels": count,
+            "device_masked_extract_s": t_dev, "labels_device": count_dev,
             "ref_s_snemi3d": 90.0}
 
     # ---- voxel graph ----

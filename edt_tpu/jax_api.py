@@ -31,6 +31,48 @@ from edt_tpu.parallel.sharded import (
     edtsq_voxel_graph_sharded,
 )
 
+
+# ---- device-side per-label extraction -------------------------------------
+
+import functools as _functools
+
+import numpy as _np
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_functools.partial(_jax.jit, donate_argnums=())
+def extract_label(labels, dt, label):
+    """dt masked to one label, on device: dt * (labels == label).
+
+    The reference's own masking fallback (/root/reference/README.md:347-348)
+    — as a single fused device op. Composable with jit/vmap; use
+    jax.vmap(extract_label, in_axes=(None, None, 0)) to batch labels.
+    """
+    return _jnp.where(labels == label, dt, _jnp.asarray(0, dt.dtype))
+
+
+def each_device(labels, dt, ids=None):
+    """Device-side analog of edt_tpu.each: yields (label, masked dt) with
+    every masked volume computed AND LEFT on device.
+
+    For device-resident pipelines this avoids each()'s host round trip of
+    the full dt volume plus per-label host buffers (the host RLE kit
+    remains faster when the results are consumed on the host — see
+    benchmarks/run.py --sections each for the crossover).
+
+    ids: iterable of labels to yield; defaults to the unique nonzero
+    labels (one device reduction + a small transfer of the id list).
+    """
+    labels = _jnp.asarray(labels)
+    dt = _jnp.asarray(dt)
+    if ids is None:
+        ids = [u for u in _np.asarray(_jnp.unique(labels)).tolist() if u != 0]
+    for k in ids:
+        yield k, extract_label(labels, dt, _jnp.asarray(k, labels.dtype))
+
+
 __all__ = [
     "edt", "edtsq", "sdf", "sdfsq",
     "default_minplus_fn", "default_parabolic_fn",
@@ -38,4 +80,5 @@ __all__ = [
     "edtsq_from_heights", "soft_edtsq", "soft_sdfsq", "default_barrier",
     "default_mesh", "edtsq_sharded", "edtsq_sharded_auto", "edt_sharded",
     "sdf_sharded", "edtsq_voxel_graph_sharded",
+    "extract_label", "each_device",
 ]

@@ -230,6 +230,25 @@ def test_each_uses_native_rle_when_built():
     assert rle._use_native(rle._flat_memory_order(dt))
 
 
+def test_each_device_matches_host_each():
+    """Device-side masked extraction == the host RLE each(), label by
+    label (the reference's dt * (labels == k) fallback, README.md:347)."""
+    import edt_tpu.jax_api as edtj
+
+    rng = np.random.default_rng(8)
+    labels = rng.integers(0, 5, size=(9, 8, 7)).astype(np.uint32)
+    dt = edt.edt(labels, anisotropy=(2.0, 1.0, 1.0))
+    host = {k: img.copy() for k, img in edt.each(labels, dt)}
+    dev = {int(k): np.array(img) for k, img in edtj.each_device(labels, dt)}
+    assert set(dev) == set(host)
+    for k in host:
+        assert np.array_equal(dev[k], host[k]), k
+    # explicit ids subset
+    some = list(host)[:2]
+    got = dict(edtj.each_device(labels, dt, ids=some))
+    assert list(got) == some
+
+
 def test_reshape_stride_tricks():
     arr = np.arange(12, dtype=np.uint32).reshape(3, 4)
     flat = edt.reshape(arr, (12,))
