@@ -142,6 +142,42 @@ def main():
         # round trips) — the minimum-traffic model for the whole transform
         roof("  full edtsq", dt, 48)
 
+        # --- achieved VPU utilization of the banded sweep (static model) --
+        # The offset-major row sweep's work is statically knowable per
+        # offset step: one incremental lane-roll of the (rows, width)
+        # window — Mosaic lowers a roll-by-1 to ~ROLL_OPS vector ops per
+        # element, measured ~"3 registers each" (CLAUDE.md) — plus the
+        # per-tile update (add the quadratic, min-select), ~UPDATE_OPS
+        # ops/element. The roll runs over the padded width (n + 2*HALO),
+        # hence the width/n scale factor. On a controlled workload with
+        # sources every `spacing` voxels the per-row pruning radius is
+        # exactly spacing/2, so total static ops/voxel =
+        # (2r+1) * (ROLL_OPS * width/n + UPDATE_OPS); achieved VPU
+        # utilization = static_ops / (measured ns/vox * VPU roof).
+        ROLL_OPS, UPDATE_OPS = 5.0, 2.0
+        spacing = 32
+        r_known = spacing // 2
+        i_idx = np.arange(S)
+        frow = np.where(i_idx % spacing == 0, 0.0, 1e6).astype(np.float32)
+        f_sync = jnp.asarray(np.broadcast_to(frow, (S * S, S)).copy())
+        mp_bin = pk.make_minplus_fn()
+
+        def sweep_step(x, i):
+            return mp_bin(x, x, x, jnp.float32(1.0), masked=False)
+
+        dts = timed(f"banded sweep, known radius r={r_known}", sweep_step,
+                    f_sync, K)
+        width_scale = (S + 2 * pk.HALO) / S
+        static_ops = (2 * r_known + 1) * (ROLL_OPS * width_scale + UPDATE_OPS)
+        ns_vox = dts / vox * 1e9
+        achieved_gops = static_ops / ns_vox
+        print(f"  banded-sweep static model: {static_ops:.0f} VPU ops/vox "
+              f"((2*{r_known}+1) * ({ROLL_OPS}*{width_scale:.2f} + "
+              f"{UPDATE_OPS}))")
+        print(f"  achieved: {achieved_gops:.0f} Gop/s = "
+              f"{100 * achieved_gops / VPU_GOPS:.1f}% of VPU roof "
+              f"({VPU_GOPS:.0f} Gop/s)")
+
     if sec in ("all", "binary"):
         # binary all-ones cube with black border (reference headline config)
         ones = jnp.ones((S, S, S), jnp.uint8)

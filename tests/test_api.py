@@ -272,6 +272,27 @@ def test_reshape_stride_tricks():
     assert np.array_equal(vf, reff)
 
 
+def test_pallas_masked_ceiling_row_on_device():
+    """The masked Pallas path must survive a row at its derived VMEM
+    ceiling (ADVICE r2: the old shared 60k constant let masked rows in
+    the 30-60k range fail Mosaic VMEM allocation at runtime)."""
+    import jax
+
+    from edt_tpu import api
+
+    if not api._use_pallas():
+        pytest.skip("exercises the Pallas VMEM ceiling (TPU only)")
+    n = api._DEVICE_MAX_AXIS_PALLAS_MASKED
+    row = np.zeros(n, np.uint32)
+    # multi-label segments every ~1000 voxels, sparse background
+    row[:] = (np.arange(n) // 1000 % 7) + 1
+    row[::5000] = 0
+    data = np.stack([row, row])
+    got = edt.edtsq(data, anisotropy=(1e9, 1.0))  # rows independent
+    want = hr.edtsq_host(data, np.asarray((1e9, 1.0), np.float32), False)
+    assert np.array_equal(got, want)
+
+
 def test_off_tpu_long_axes_use_host_banded_path():
     """On non-TPU backends, axes past the jnp min-plus comfort zone must
     route to the vectorized host banded path (the jnp evaluation is
