@@ -120,6 +120,13 @@ def _minplus_hard_binary_with_arg(f, w2):
     return d, argj.astype(jnp.int32)
 
 
+def _link_dtype(n):
+    """Residual-link dtype: offsets |argj - i| < n fit int16 for short rows,
+    halving the fwd->bwd residual's HBM round trip (the argmin indices are
+    the only tensor saved between the passes)."""
+    return jnp.int16 if n <= 16000 else jnp.int32
+
+
 @functools.lru_cache(maxsize=2)
 def _make_minplus_hard(binary_heights):
     @jax.custom_vjp
@@ -134,10 +141,17 @@ def _make_minplus_hard(binary_heights):
 
     def fwd(f, w2):
         d, argj = fwd_impl(f, w2)
-        return d, (argj, w2, f.shape[1])
+        n = f.shape[1]
+        idt = _link_dtype(n)
+        # store residual offsets o = argj - i (narrow dtype); the bwd
+        # reconstruction fuses into the gather kernel's padding copy
+        o = (argj - jnp.arange(n, dtype=jnp.int32)[None, :]).astype(idt)
+        return d, (o, w2, n)
 
     def bwd(res, g):
-        argj, w2, n = res
+        o, w2, n = res
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+        argj = idx + o.astype(jnp.int32)
         # d[r, i] = f[r, argj[r, i]] + w2 * (i - argj)^2
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
@@ -147,8 +161,7 @@ def _make_minplus_hard(binary_heights):
             R = argj.shape[0]
             rows = jnp.arange(R, dtype=jnp.int32)[:, None]
             df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
-        i = jnp.arange(n, dtype=F32)[None, :]
-        dw2 = jnp.sum(g * (i - argj.astype(F32)) ** 2)
+        dw2 = jnp.sum(g * o.astype(F32) ** 2)
         return df, dw2
 
     mhard.defvjp(fwd, bwd)
@@ -504,23 +517,30 @@ def _make_minplus_hard_walled(binary_heights):
 
     def fwd(f, w2, walls):
         out, argj = fwd_impl(f, w2, walls)
-        return out, (argj, w2, f.shape[1])
+        n = f.shape[1]
+        idt = _link_dtype(n)
+        sent = jnp.asarray(jnp.iinfo(idt).min, idt)  # wall-win marker
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+        # residual offsets, narrow dtype; |o| < n < |sent| so the marker
+        # can never collide with a real link
+        o = jnp.where(argj >= 0, (argj - idx).astype(idt), sent)
+        return out, (o, w2, n)
 
     def bwd(res, g):
-        argj, w2, n = res
-        win = argj >= 0
+        o, w2, n = res
+        win = o != jnp.iinfo(o.dtype).min
         gm = jnp.where(win, g, jnp.asarray(0.0, F32))
+        om = jnp.where(win, o, jnp.zeros((), o.dtype))
         idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-        links = jnp.where(win, argj, idx)  # wall wins: zero-length link
+        links = idx + om.astype(jnp.int32)  # wall wins: zero-length link
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
 
             df = pallas_kernels.minplus_grad_pallas(gm, links)
         else:
-            rows = jnp.arange(argj.shape[0], dtype=jnp.int32)[:, None]
+            rows = jnp.arange(o.shape[0], dtype=jnp.int32)[:, None]
             df = jnp.zeros(g.shape, g.dtype).at[rows, links].add(gm)
-        i = jnp.arange(n, dtype=F32)[None, :]
-        dw2 = jnp.sum(gm * (i - links.astype(F32)) ** 2)
+        dw2 = jnp.sum(gm * om.astype(F32) ** 2)
         return df, dw2, jnp.where(win, jnp.asarray(0.0, F32), g)
 
     mhw.defvjp(fwd, bwd)

@@ -174,3 +174,38 @@ def test_2d_and_1d_parity():
                                   black_border=True)
         )
         np.testing.assert_array_equal(sft, hard)
+
+
+def test_long_row_int32_link_residuals():
+    """Rows past the int16 threshold (n > 16000) must take the int32
+    residual-link branch of the hard VJP with identical values/grads.
+
+    Uses the closed-form binary-heights pass (the kernel path would be the
+    same encode/decode), 1-D so the volume stays small."""
+    n = 16100
+    rng = np.random.default_rng(3)
+    occ = (rng.random(n) > 0.002).astype(np.float32)
+    occ[0] = occ[-1] = 0.0
+    lab = (occ > 0).astype(np.uint32)
+
+    hard = api.edtsq(lab, anisotropy=(2.0,), black_border=False)
+    d, vjp = jax.vjp(
+        lambda o: soft.multilabel_edtsq(
+            jnp.asarray(lab), o, (2.0,), black_border=False,
+            barrier=float(4.0 * n * n), binary_occupancy=True),
+        jnp.asarray(occ))
+    np.testing.assert_array_equal(np.asarray(d), hard)
+
+    (g,) = vjp(jnp.ones_like(d))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    # every FOREGROUND voxel routes its unit cotangent to its winning
+    # zero-height source with weight d(barrier*occ)/docc = barrier
+    # (sources/boundary ties always beat the self-candidate here;
+    # background voxels' occupancy is masked out of the height field, so
+    # their self-win cotangents carry no occ gradient): gradient mass is
+    # conserved as sum(g) == barrier * #foreground, all on background
+    barrier = 4.0 * n * n
+    assert (g[occ > 0] == 0).all()
+    np.testing.assert_allclose(g.sum() / barrier, float((occ > 0).sum()),
+                               rtol=1e-6)
