@@ -936,15 +936,16 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
 
 
 def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
-                                  block_rows):
+                                  block_rows, band_cap=TILE):
     """Offset-major grad gather: whole-row rolls of g and argj shared
     across target tiles (same restructuring as the forward row sweep —
-    halves roll traffic vs per-tile 3-tile windows). Links longer than a
-    tile are handled by a SUPPLEMENTAL pass that visits only source tiles
-    whose own max link exceeds the swept band (per-tile link maxima in
-    SMEM scratch), with a hit filter |argj - i| > band so nothing double
-    counts — one long link no longer drags the whole block through full
-    tile-pair gathers."""
+    halves roll traffic vs per-tile 3-tile windows). Links longer than
+    ``band_cap`` are handled by a SUPPLEMENTAL pass that visits only
+    source tiles whose own max link exceeds the swept band (per-tile link
+    maxima in SMEM scratch), with a hit filter |argj - i| > band so
+    nothing double counts — a few long links no longer drag the whole
+    block through extra sweep offsets (every offset costs a whole-row
+    roll) or full tile-pair gathers."""
     n = n_tiles * TILE
     width = n + 2 * HALO
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
@@ -961,7 +962,7 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         m_ref[t] = mt
         m = jnp.maximum(m, mt)
     moff = m
-    rb = jnp.minimum(moff, jnp.int32(TILE))  # banded range
+    rb = jnp.minimum(moff, jnp.int32(band_cap))  # banded range
 
     for it in range(n_tiles):
         out_ref[:, pl.ds(it * TILE, TILE)] = jnp.zeros(
@@ -1031,9 +1032,9 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
-                                             "row_sweep"))
+                                             "row_sweep", "band_cap"))
 def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
-                        row_sweep=True):
+                        row_sweep=True, band_cap=TILE):
     """VJP routing for minplus_argmin_pallas: (R, n) g, argj -> df (R, n)."""
     R, n = g.shape
     n_tiles = max(1, -(-n // TILE))
@@ -1047,9 +1048,13 @@ def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
     pos = jnp.broadcast_to(jnp.arange(-HALO, np_ + HALO, dtype=jnp.int32),
                            (Rp, np_ + 2 * HALO))
     ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
-    kernel = (_minplus_grad_rowsweep_kernel if row_sweep
-              else _minplus_grad_kernel)
-    scratch = [pltpu.SMEM((n_tiles,), jnp.int32)] if row_sweep else []
+    if row_sweep:
+        kernel = functools.partial(_minplus_grad_rowsweep_kernel,
+                                   band_cap=band_cap)
+        scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
+    else:
+        kernel = _minplus_grad_kernel
+        scratch = []
     out = pl.pallas_call(
         functools.partial(kernel, n_tiles=n_tiles,
                           block_rows=block_rows),

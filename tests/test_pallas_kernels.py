@@ -305,3 +305,26 @@ def test_grad_gather_kernel_matches_scatter():
                                        interpret=True, row_sweep=sweep)
             )
             assert np.allclose(out, ref, atol=1e-5), (seed, sweep)
+
+
+def test_grad_gather_band_cap_variants():
+    """Capping the swept band routes the long-link tail through the
+    supplemental pass; every cap must stay exact (the sweep credits
+    |o| <= cap, the supplement strictly |o| > cap — no double counting)."""
+    rng = np.random.default_rng(7)
+    R, n = 33, 640
+    i = np.arange(n)
+    off = rng.integers(-12, 13, size=(R, n))
+    far = rng.random((R, n)) < 0.02
+    off = np.where(far, rng.integers(-300, 301, size=(R, n)), off)
+    argj = np.clip(i[None, :] + off, 0, n - 1).astype(np.int32)
+    g = rng.standard_normal((R, n)).astype(np.float32)
+    rows = np.arange(R)[:, None]
+    ref = np.zeros((R, n), np.float32)
+    np.add.at(ref, (rows.repeat(n, 1), argj), g)
+    for cap in (8, 32, 128):
+        out = np.array(
+            pk.minplus_grad_pallas(jnp.asarray(g), jnp.asarray(argj),
+                                   interpret=True, band_cap=cap)
+        )
+        assert np.allclose(out, ref, atol=1e-5), cap
