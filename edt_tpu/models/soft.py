@@ -320,13 +320,11 @@ def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
     inside a shard_map over that mesh axis; the axis-0 pass rotates the
     sharded axis via all_to_all (differentiable — its transpose is the
     reverse all_to_all), exactly like edt_tpu.parallel.edtsq_sharded.
-    NOTE: the sharded axis-0 pass must run LAST (it owns the rotation), so
-    at temperature > 0 — where softmin composition is order-dependent —
-    sharded and single-chip results differ by a bounded smoothing term
-    (~exp(-gap/t) per pass reorder) whenever axis 0 is not the
-    largest-pitch axis; at temperature == 0 composition is
-    order-independent and results match exactly
-    (tests/test_sharded.py::test_sharded_multilabel_soft_matches_single).
+    The rotation wraps just that one pass, so it runs at its natural
+    position in the ascending-pitch order: sharded and single-chip pass
+    composition are IDENTICAL, and results match to f32 round-off at any
+    temperature (order matters at t > 0, where softmin composition is
+    order-dependent — tests/test_sharded.py).
 
     binary_heights: caller's promise that h takes exactly two values
     {0, B} (hard masks — the common inference case, or straight-through
@@ -342,14 +340,12 @@ def edtsq_from_heights(h, anisotropy, black_border=False, temperature=0.0,
     f = h.astype(F32)
     # ascending-pitch pass order (like api._sorted_axis_order): running
     # cheap-pitch axes first keeps later passes' pruning radii small.
-    # Under sharding the sharded axis 0 must go last (its pass needs the
-    # all_to_all rotation); the remaining axes still sort.
-    first_axes = range(1, nd) if axis_name is not None else range(nd)
-    order = sorted(first_axes, key=lambda a: (float(anis_np[a]), -a))
-    if axis_name is not None:
-        if nd != 3:
-            raise ValueError("sharded soft EDT requires a 3-D volume")
-        order = order + [0]
+    # Under sharding the axis-0 pass wraps itself in the all_to_all
+    # rotation at its natural position, so the order (and hence the t > 0
+    # softmin composition) is identical to the single-chip path.
+    if axis_name is not None and nd != 3:
+        raise ValueError("sharded soft EDT requires a 3-D volume")
+    order = sorted(range(nd), key=lambda a: (float(anis_np[a]), -a))
     for step, ax in enumerate(order):
         rotated = axis_name is not None and ax == 0
         if rotated:
@@ -607,12 +603,11 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
     binary_occupancy = bool(binary_occupancy)
     f = jnp.asarray(barrier, F32) * occupancy.astype(F32)
 
-    first_axes = range(1, nd) if axis_name is not None else range(nd)
-    order = sorted(first_axes, key=lambda a: (float(anis_np[a]), -a))
-    if axis_name is not None:
-        if nd != 3:
-            raise ValueError("sharded multi-label soft EDT requires 3-D")
-        order = order + [0]
+    if axis_name is not None and nd != 3:
+        raise ValueError("sharded multi-label soft EDT requires 3-D")
+    # full ascending-pitch order; the rotated axis-0 pass runs at its
+    # natural position so sharded == single-chip composition exactly
+    order = sorted(range(nd), key=lambda a: (float(anis_np[a]), -a))
     for step, ax in enumerate(order):
         rotated = axis_name is not None and ax == 0
         lab = labels

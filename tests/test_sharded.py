@@ -212,9 +212,9 @@ def test_sharded_soft_grad(temperature):
 
 def test_sharded_soft_grad_anisotropic_t_positive():
     """t > 0 sharded vs single-chip on an anisotropy where axis 0 is NOT
-    the largest pitch: softmin composition is order-dependent and the
-    sharded path pins axis 0 last, so results agree only to a bounded
-    smoothing term (documented in edtsq_from_heights) — pin that bound."""
+    the largest pitch: the rotated axis-0 pass runs at its natural
+    ascending-pitch position, so the (order-dependent) softmin composition
+    is identical to the single-chip path and values match to round-off."""
     import functools
 
     from jax.sharding import PartitionSpec as P
@@ -235,7 +235,7 @@ def test_sharded_soft_grad_anisotropic_t_positive():
 
     d_s = np.array(f(occ))
     d_1 = np.array(soft.soft_edtsq(occ, aniso, **kw))
-    np.testing.assert_allclose(d_s, d_1, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(d_s, d_1, rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("temperature", [0.0, 0.5])
