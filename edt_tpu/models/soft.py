@@ -428,51 +428,62 @@ def soft_edtsq(occupancy, anisotropy, black_border=False, barrier=None,
 # so only same-label heights and the structural walls survive the min.
 
 
-def _wall_field_sq(labels_ax, w2, black_border):
-    """Squared distance to the nearest label-boundary wall along axis -1.
+# wall-count sentinel values ("open side" -> INF); MUST match
+# edt_tpu.ops.pallas_kernels.WALL_SENT16/32 (asserted in tests) — the
+# walled argmin kernel consumes the counts directly and forms w2*cnt^2
+# in-register, halving the wall stream's HBM traffic vs f32 fields.
+WALL_SENT16 = 30000
+WALL_SENT32 = 1 << 30
 
-    w2 * min((i - seg_start + 1)^2, (seg_end - i)^2) per voxel, with INF on
-    sides that touch an open (non-black) volume border — the implicit
-    border parabolas of the reference (edt.hpp:231-243) extended to every
-    interior segment boundary. A constant w.r.t. heights (labels are
-    discrete), so it carries no gradient.
 
-    Computed with int16 scans AND int16 wall distances (distances are
-    bounded by the axis length; open borders become > n sentinels), so
-    only the final fused select-and-square materializes f32 — ~2x faster
-    at 512^3 than the int32 start/end + f32 two-sided gating formulation.
+def _wall_counts(labels, axis, black_border):
+    """Distance IN VOXELS to the nearest label-boundary wall along `axis`,
+    in labels' own layout (int16 when the axis fits, sentinel = open side).
+
+    min(i - seg_start + 1, seg_end - i) per voxel — the implicit border
+    parabolas of the reference (edt.hpp:231-243) extended to every
+    interior segment boundary; squared and scaled lazily (in-kernel for
+    the Pallas path). A constant w.r.t. heights (labels are discrete).
+    Int16 scans measured ~2x the int32+f32 formulation at 512^3; computing
+    in the ORIGINAL layout means the per-pass transpose moves 2-byte
+    counts instead of 4-byte labels.
     """
-    n = labels_ax.shape[-1]
-    if n > 16000:  # 2n+2 must fit int16; longer rows take the exact path
-        from edt_tpu.ops import core
-
-        start, end = core.segment_bounds(labels_ax)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        li = (idx - start + 1).astype(F32)
-        ri = (end - idx).astype(F32)
-        lwall = w2 * li * li
-        rwall = w2 * ri * ri
-        if not black_border:
-            lwall = jnp.where(start > 0, lwall, INF)
-            rwall = jnp.where(end < n, rwall, INF)
-        return jnp.minimum(lwall, rwall)
-
-    i16 = jnp.int16
-    axis = labels_ax.ndim - 1
-    idx = jnp.arange(n, dtype=i16)
-    neq = labels_ax[..., 1:] != labels_ax[..., :-1]
-    pad_shape = labels_ax.shape[:-1] + (1,)
+    n = labels.shape[axis]
+    if n <= 16000:  # 2n + 2 must fit the dtype
+        idt, sent = jnp.int16, WALL_SENT16
+    else:
+        idt, sent = jnp.int32, WALL_SENT32
+    shape1 = [1] * labels.ndim
+    shape1[axis] = n
+    idx = jnp.arange(n, dtype=idt).reshape(shape1)
+    neq = (lax.slice_in_dim(labels, 1, n, axis=axis)
+           != lax.slice_in_dim(labels, 0, n - 1, axis=axis))
+    pad_shape = list(labels.shape)
+    pad_shape[axis] = 1
     edge = jnp.full(pad_shape, black_border, dtype=bool)
-    is_start = jnp.concatenate([edge, neq], axis=-1)
-    is_end = jnp.concatenate([neq, edge], axis=-1)
+    is_start = jnp.concatenate([edge, neq], axis=axis)
+    is_end = jnp.concatenate([neq, edge], axis=axis)
     # li = i - start + 1 with start = last wall position; a missing marker
     # (open-left run) yields li = i + n + 2 > n, the open sentinel
-    li = idx - lax.cummax(jnp.where(is_start, idx, i16(-(n + 1))),
+    li = idx - lax.cummax(jnp.where(is_start, idx, idt(-(n + 1))),
                           axis=axis) + 1
-    ri = lax.cummin(jnp.where(is_end, idx, i16(2 * n)), axis=axis,
+    ri = lax.cummin(jnp.where(is_end, idx, idt(2 * n)), axis=axis,
                     reverse=True) + 1 - idx
-    wmin = jnp.minimum(li, ri)  # <= 2n + 2, exact in int16
-    return jnp.where(wmin > n, INF, w2 * jnp.square(wmin.astype(F32)))
+    wmin = jnp.minimum(li, ri)  # <= 2n + 2, exact
+    return jnp.where(wmin > n, idt(sent), wmin)
+
+
+def _walls_from_counts(cnt, w2):
+    """f32 squared wall field (INF = open) from integer wall counts."""
+    sent = WALL_SENT16 if cnt.dtype == jnp.int16 else WALL_SENT32
+    c = cnt.astype(F32)
+    return jnp.where(cnt >= sent, INF, w2 * c * c)
+
+
+def _wall_field_sq(labels_ax, w2, black_border):
+    """Squared distance to the nearest label-boundary wall along axis -1."""
+    return _walls_from_counts(
+        _wall_counts(labels_ax, labels_ax.ndim - 1, black_border), w2)
 
 
 @functools.lru_cache(maxsize=2)
@@ -490,15 +501,18 @@ def _make_minplus_hard_walled(binary_heights):
     tile-pair gathers — measured 3x the entire backward at 512^3.
     """
 
-    def fwd_impl(f, w2, walls):
+    def fwd_impl(f, w2, cnt):
         """(out, argj_enc): wall-clamped min-plus; wall wins carry
-        argj_enc = ~i (negative), candidate wins their argmin index."""
+        argj_enc = ~i (negative), candidate wins their argmin index.
+        ``cnt``: integer wall COUNTS (see _wall_counts) — the Pallas
+        kernel streams them directly (half the f32 field's HBM)."""
         if not binary_heights and _use_pallas():
             # fused kernel: wall min + arg encoding + wall-capped radius
             # pruning happen in-kernel (one stream, no clamp round-trip)
             from edt_tpu.ops import pallas_kernels
 
-            return pallas_kernels.minplus_argmin_pallas(f, w2, walls=walls)
+            return pallas_kernels.minplus_argmin_pallas(f, w2, walls=cnt)
+        walls = _walls_from_counts(cnt, w2)
         if binary_heights:
             d, argj = _minplus_hard_binary_with_arg(f, w2)
         else:
@@ -508,11 +522,11 @@ def _make_minplus_hard_walled(binary_heights):
         return jnp.where(win, d, walls), jnp.where(win, argj, ~idx)
 
     @jax.custom_vjp
-    def mhw(f, w2, walls):
-        return fwd_impl(f, w2, walls)[0]
+    def mhw(f, w2, cnt):
+        return fwd_impl(f, w2, cnt)[0]
 
-    def fwd(f, w2, walls):
-        out, argj = fwd_impl(f, w2, walls)
+    def fwd(f, w2, cnt):
+        out, argj = fwd_impl(f, w2, cnt)
         n = f.shape[1]
         idt = _link_dtype(n)
         sent = jnp.asarray(jnp.iinfo(idt).min, idt)  # wall-win marker
@@ -520,10 +534,10 @@ def _make_minplus_hard_walled(binary_heights):
         # residual offsets, narrow dtype; |o| < n < |sent| so the marker
         # can never collide with a real link
         o = jnp.where(argj >= 0, (argj - idx).astype(idt), sent)
-        return out, (o, w2, n)
+        return out, (o, w2, n, cnt.shape)
 
     def bwd(res, g):
-        o, w2, n = res
+        o, w2, n, cnt_shape = res
         win = o != jnp.iinfo(o.dtype).min
         gm = jnp.where(win, g, jnp.asarray(0.0, F32))
         om = jnp.where(win, o, jnp.zeros((), o.dtype))
@@ -537,29 +551,37 @@ def _make_minplus_hard_walled(binary_heights):
             rows = jnp.arange(o.shape[0], dtype=jnp.int32)[:, None]
             df = jnp.zeros(g.shape, g.dtype).at[rows, links].add(gm)
         dw2 = jnp.sum(gm * om.astype(F32) ** 2)
-        return df, dw2, jnp.where(win, jnp.asarray(0.0, F32), g)
+        # integer wall counts take a float0 cotangent (walls are
+        # label-derived constants; their old f32 cotangent was always
+        # discarded behind a stop_gradient anyway)
+        dcnt = np.zeros(cnt_shape, jax.dtypes.float0)
+        return df, dw2, dcnt
 
     mhw.defvjp(fwd, bwd)
     return mhw
 
 
-def _multilabel_pass(f, labels_ax, w, black_border, temperature,
+def _multilabel_pass(f, wall_cnt_ax, w, black_border, temperature,
                      binary_heights=False):
-    """One differentiable multi-label min-plus pass along the last axis."""
+    """One differentiable multi-label min-plus pass along the last axis.
+
+    wall_cnt_ax: integer wall counts along the same (last) axis — from
+    _wall_counts, precomputed in the volume's original layout so the
+    per-pass transpose moves 2-byte counts, not 4-byte labels."""
     n = f.shape[-1]
     w = jnp.asarray(w, F32)
     w2 = w * w
     shape = f.shape
     f2 = f.reshape(-1, n)
-    walls = lax.stop_gradient(_wall_field_sq(labels_ax, w2, black_border))
     if temperature and temperature > 0.0:
+        walls = _walls_from_counts(wall_cnt_ax, w2)
         d = _minplus_soft(f2, w2, float(temperature)).reshape(shape)
         t = jnp.asarray(temperature, F32)
         return -t * jnp.logaddexp(-d / t, -walls / t)
     # ties go to the min-plus candidate (d <= walls), so a zero-height
     # source at the wall site keeps its gradient
     d = _make_minplus_hard_walled(bool(binary_heights))(
-        f2, w2, walls.reshape(-1, n))
+        f2, w2, wall_cnt_ax.reshape(-1, n))
     return d.reshape(shape)
 
 
@@ -610,15 +632,19 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
     order = sorted(range(nd), key=lambda a: (float(anis_np[a]), -a))
     for step, ax in enumerate(order):
         rotated = axis_name is not None and ax == 0
-        lab = labels
         if rotated:
             f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0,
                                tiled=True)
             lab = lax.all_to_all(labels, axis_name, split_axis=2,
                                  concat_axis=0, tiled=True)
+            cnt = _wall_counts(lab, 0, black_border)
+        else:
+            # counts in the ORIGINAL layout (scans run along any axis);
+            # the pass transpose then moves int16 counts, not u32 labels
+            cnt = _wall_counts(labels, ax, black_border)
         f = jnp.moveaxis(
             _multilabel_pass(
-                jnp.moveaxis(f, ax, -1), jnp.moveaxis(lab, ax, -1),
+                jnp.moveaxis(f, ax, -1), jnp.moveaxis(cnt, ax, -1),
                 anisotropy[ax], black_border, temperature,
                 binary_heights=binary_occupancy and step == 0,
             ),

@@ -73,6 +73,10 @@ def _radius_from_gap(gap, w2, n):
 
 HALO = TILE  # INF halo around the scan axis enabling unaligned banded loads
 BAND_MAX_R = 16  # banded branch chosen when the pruning radius <= this
+# wall-count sentinels ("open side", -> INF): must exceed any legitimate
+# count (n + 1). int16 walls require n <= 16000 (edt_tpu.models.soft).
+WALL_SENT16 = 30000
+WALL_SENT32 = 1 << 30
 # (measured v5e crossover: the rolling-window band beats a 128-candidate
 # tile pair only for small radii; per-tile dispatch lets smooth regions of
 # the same volume take the band while feature-dense tiles stay tiled)
@@ -462,8 +466,21 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
 # ---------------------------------------------------------------------------
 
 
+def _wall_tile(walls_ref, sl, w2, wall_sent):
+    """Load one wall tile. wall_sent None: walls are f32 squared distances
+    (INF = open). Else: walls are integer COUNTS (distance in voxels;
+    >= wall_sent = open) and the f32 w2*cnt^2 is formed in-register — the
+    count stream is half (int16) the f32 walls stream in HBM."""
+    w = walls_ref[:, sl]
+    if wall_sent is None:
+        return w
+    c = w.astype(F32)
+    return jnp.where(w >= wall_sent, _INF, w2 * c * c)
+
+
 def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
-                           block_rows, arg_band_r=48, walled=False):
+                           block_rows, arg_band_r=48, walled=False,
+                           wall_sent=None):
     if walled:
         walls_ref, out_ref, arg_ref = rest
     else:
@@ -516,7 +533,8 @@ def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
         # clamp: padded-halo winners only occur for all-INF rows
         ahat = jnp.clip(ahat, 0, n - 1)
 
-        wall_i = walls_ref[:, pl.ds(i0, TILE)] if walled else None
+        wall_i = (_wall_tile(walls_ref, pl.ds(i0, TILE), w2, wall_sent)
+                  if walled else None)
         dcap = jnp.minimum(dhat, wall_i) if walled else dhat
         gap = _radius_gap(jnp.max(dcap, axis=1, keepdims=True), minf_row)
         radius = _radius_from_gap(gap, w2, n)
@@ -624,7 +642,8 @@ def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
 
 def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
                                     n_tiles, block_rows, arg_band_r=64,
-                                    probe_r=16, walled=False):
+                                    probe_r=16, walled=False,
+                                    wall_sent=None):
     """Offset-major argmin variant: whole-row rolls shared across tiles.
 
     Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
@@ -699,7 +718,9 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
             if walled:
                 # the final value is min'd with the wall, so only
                 # candidates beating the wall matter for the radius
-                t = jnp.minimum(t, walls_ref[:, pl.ds(it * TILE, TILE)])
+                t = jnp.minimum(t, _wall_tile(walls_ref,
+                                              pl.ds(it * TILE, TILE),
+                                              w2, wall_sent))
             bound = jnp.max(t, axis=1, keepdims=True)
             radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
             if store:
@@ -754,7 +775,8 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         def tiled(_):
             cur = out_ref[:, pl.ds(i0, TILE)]
             if walled:
-                cur = jnp.minimum(cur, walls_ref[:, pl.ds(i0, TILE)])
+                cur = jnp.minimum(cur, _wall_tile(walls_ref, pl.ds(i0, TILE),
+                                                  w2, wall_sent))
             ub = jnp.max(cur)
             jt_lo = jnp.maximum((i0 - radius) // TILE, 0)
             jt_hi = jnp.minimum((i0 + TILE + radius + TILE - 1) // TILE,
@@ -796,7 +818,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         # clamp: padded-halo winners only occur for all-INF rows
         arg = jnp.clip(arg_ref[:, pl.ds(i0, TILE)], 0, n - 1)
         if walled:
-            wl = walls_ref[:, pl.ds(i0, TILE)]
+            wl = _wall_tile(walls_ref, pl.ds(i0, TILE), w2, wall_sent)
             best = out_ref[:, pl.ds(i0, TILE)]
             ww = wl < best  # ties stay with the min-plus candidate
             out_ref[:, pl.ds(i0, TILE)] = jnp.where(ww, wl, best)
@@ -816,8 +838,11 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
                           row_sweep=True):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index.
 
-    walls: optional (R, n) f32 per-voxel constant upper bound, min'd into
-    the result in-kernel (multi-label boundary parabolas). Wall wins
+    walls: optional (R, n) per-voxel constant upper bound, min'd into
+    the result in-kernel (multi-label boundary parabolas). f32: squared
+    distances with INF = open. Integer (int16/int32): wall COUNTS
+    (distance in voxels; >= WALL_SENT16/32 = open) — w2*cnt^2 is formed
+    in-register, so the wall stream costs half the HBM of f32. Wall wins
     (strictly below every candidate) return arg = ~i (negative); they also
     cap the internal radius estimates, which is what keeps barrier-height
     fields with sparse sources off the full tile-pair scan.
@@ -839,18 +864,27 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
                           memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), f_spec]
     operands = [w2v, fp]
+    wall_sent = None
     if walled:
         in_specs.append(row_spec)
-        operands.append(_pad_to(walls.astype(F32), Rp, np_, _INF, halo=0))
+        if jnp.issubdtype(walls.dtype, jnp.integer):
+            wall_sent = (WALL_SENT16 if walls.dtype == jnp.int16
+                         else WALL_SENT32)
+            operands.append(_pad_to(walls, Rp, np_, wall_sent, halo=0))
+        else:
+            operands.append(_pad_to(walls.astype(F32), Rp, np_, _INF,
+                                    halo=0))
     if row_sweep:
         kernel = functools.partial(
             _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
-            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled)
+            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
+            wall_sent=wall_sent)
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
     else:
         kernel = functools.partial(
             _minplus_argmin_kernel, n_tiles=n_tiles,
-            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled)
+            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
+            wall_sent=wall_sent)
         scratch = []
     d, arg = pl.pallas_call(
         kernel,

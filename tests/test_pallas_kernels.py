@@ -328,3 +328,33 @@ def test_grad_gather_band_cap_variants():
                                    interpret=True, band_cap=cap)
         )
         assert np.allclose(out, ref, atol=1e-5), cap
+
+
+def test_argmin_walls_as_counts_matches_f32_walls():
+    """Integer wall counts (w2*cnt^2 formed in-register, sentinel = open)
+    must reproduce the f32 wall field path bit-exactly."""
+    from edt_tpu.models import soft as msoft
+
+    assert msoft.WALL_SENT16 == pk.WALL_SENT16
+    assert msoft.WALL_SENT32 == pk.WALL_SENT32
+
+    rng = np.random.default_rng(5)
+    n = 300
+    f = np.full((9, n), 900.0, np.float32)
+    f[rng.random((9, n)) > 0.8] = 0.0
+    # counts: distance-to-wall pattern with some open (sentinel) sides
+    cnt = rng.integers(1, n, size=(9, n)).astype(np.int16)
+    cnt[rng.random((9, n)) > 0.9] = pk.WALL_SENT16
+    w2 = jnp.float32(1.3)
+    walls_f32 = np.where(cnt >= pk.WALL_SENT16, np.inf,
+                         1.3 * cnt.astype(np.float32) ** 2
+                         ).astype(np.float32)
+    for sweep in (False, True):
+        d_f, a_f = pk.minplus_argmin_pallas(jnp.asarray(f), w2,
+                                            walls=jnp.asarray(walls_f32),
+                                            interpret=True, row_sweep=sweep)
+        d_c, a_c = pk.minplus_argmin_pallas(jnp.asarray(f), w2,
+                                            walls=jnp.asarray(cnt),
+                                            interpret=True, row_sweep=sweep)
+        assert np.array_equal(np.array(d_f), np.array(d_c)), sweep
+        assert np.array_equal(np.array(a_f), np.array(a_c)), sweep
