@@ -148,8 +148,9 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
         # --- pruning bound on the winning offset (per-row, then scalar) ---
         lwall = rwall = None
         if masked:
-            ss_i = ss_ref[:, pl.ds(i0, TILE)]
-            se_i = se_ref[:, pl.ds(i0, TILE)]
+            # seg bounds may stream as int16 (half the HBM; positions fit)
+            ss_i = ss_ref[:, pl.ds(i0, TILE)].astype(I32)
+            se_i = se_ref[:, pl.ds(i0, TILE)].astype(I32)
             seg_lo = jnp.min(ss_i)
             seg_hi = jnp.max(se_i)
         else:
@@ -293,8 +294,11 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     scratch = [pltpu.SMEM((n_tiles,), jnp.int32)] if row_sweep else []
     if masked:
         kernel = functools.partial(base, **kw)
-        ssp = _pad_to(seg_start.astype(I32), Rp, np_, -1)
-        sep = _pad_to(seg_end.astype(I32), Rp, np_, 0)
+        # int16 bound streams when positions fit: halves their HBM traffic
+        # (kernels widen to i32 in-register at load)
+        sdt = jnp.int16 if n <= 32767 else I32
+        ssp = _pad_to(seg_start.astype(sdt), Rp, np_, -1)
+        sep = _pad_to(seg_end.astype(sdt), Rp, np_, 0)
         in_specs = [scalar_spec, scalar_spec, f_spec, row_spec, row_spec]
         args = (w2v, nrv, fp, ssp, sep)
     else:
@@ -351,8 +355,8 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
         gi = lanes + i0
         bound = jnp.max(f_i, axis=1, keepdims=True)
         if walls and masked:
-            ss_i = ss_ref[:, pl.ds(i0, TILE)]
-            se_i = se_ref[:, pl.ds(i0, TILE)]
+            ss_i = ss_ref[:, pl.ds(i0, TILE)].astype(I32)
+            se_i = se_ref[:, pl.ds(i0, TILE)].astype(I32)
             li = (gi - ss_i + 1).astype(F32)
             ri = (se_i - gi).astype(F32)
             lwall = w2 * (li * li)
@@ -408,8 +412,8 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
         gi = lanes + i0
         radius = rad_ref[it]
         if masked:
-            ss_i = ss_ref[:, pl.ds(i0, TILE)]
-            se_i = se_ref[:, pl.ds(i0, TILE)]
+            ss_i = ss_ref[:, pl.ds(i0, TILE)].astype(I32)
+            se_i = se_ref[:, pl.ds(i0, TILE)].astype(I32)
             seg_lo = jnp.min(ss_i)
             seg_hi = jnp.max(se_i)
         else:
