@@ -150,14 +150,14 @@ def _make_minplus_hard(binary_heights):
 
     def bwd(res, g):
         o, w2, n = res
-        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-        argj = idx + o.astype(jnp.int32)
-        # d[r, i] = f[r, argj[r, i]] + w2 * (i - argj)^2
+        # d[r, i] = f[r, i + o[r, i]] + w2 * o^2
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
 
-            df = pallas_kernels.minplus_grad_pallas(g, argj)
+            df = pallas_kernels.minplus_grad_pallas(g, offsets=o)
         else:
+            idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+            argj = idx + o.astype(jnp.int32)
             R = argj.shape[0]
             rows = jnp.arange(R, dtype=jnp.int32)[:, None]
             df = jnp.zeros(g.shape, g.dtype).at[rows, argj].add(g)
@@ -538,16 +538,20 @@ def _make_minplus_hard_walled(binary_heights):
 
     def bwd(res, g):
         o, w2, n, cnt_shape = res
-        win = o != jnp.iinfo(o.dtype).min
+        sent = int(jnp.iinfo(o.dtype).min)
+        win = o != sent
         gm = jnp.where(win, g, jnp.asarray(0.0, F32))
         om = jnp.where(win, o, jnp.zeros((), o.dtype))
-        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-        links = idx + om.astype(jnp.int32)  # wall wins: zero-length link
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
 
-            df = pallas_kernels.minplus_grad_pallas(gm, links)
+            # raw g + sentinel offsets: wall wins are inert in-kernel, no
+            # gm/links materialization at all
+            df = pallas_kernels.minplus_grad_pallas(g, offsets=o,
+                                                    off_sent=sent)
         else:
+            idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+            links = idx + om.astype(jnp.int32)  # wall wins: 0-length link
             rows = jnp.arange(o.shape[0], dtype=jnp.int32)[:, None]
             df = jnp.zeros(g.shape, g.dtype).at[rows, links].add(gm)
         dw2 = jnp.sum(gm * om.astype(F32) ** 2)

@@ -974,7 +974,8 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
 
 
 def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
-                                  block_rows, band_cap=TILE):
+                                  block_rows, band_cap=TILE, off_mode=False,
+                                  off_sent=None):
     """Offset-major grad gather: whole-row rolls of g and argj shared
     across target tiles (same restructuring as the forward row sweep —
     halves roll traffic vs per-tile 3-tile windows). Links longer than
@@ -983,20 +984,34 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     maxima in SMEM scratch), with a hit filter |argj - i| > band so
     nothing double counts — a few long links no longer drag the whole
     block through extra sweep offsets (every offset costs a whole-row
-    roll) or full tile-pair gathers."""
+    roll) or full tile-pair gathers.
+
+    off_mode: arg_ref holds residual OFFSETS o = argj - i (int16/int32 —
+    half the argj stream, straight from the VJP residual, no absolute
+    reconstruction). off_sent (static): inert-marker offset value (wall
+    wins); it can never equal a swept kk and its reconstructed absolute
+    position is negative, so those voxels contribute nothing — exactly
+    the zeroed-g + zero-length-link encoding of the absolute path."""
     n = n_tiles * TILE
     width = n + 2 * HALO
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
-    # residual links o[i] = argj[i] - i over the whole padded row (0 in
-    # padding/halo where argj carries its own position and g == 0)
-    o_full = arg_ref[:, :] - (
-        lax.broadcasted_iota(I32, (block_rows, width), 1) - HALO)
+    if off_mode:
+        o_full = arg_ref[:, :].astype(I32)
+    else:
+        # residual links o[i] = argj[i] - i over the whole padded row (0 in
+        # padding/halo where argj carries its own position and g == 0)
+        o_full = arg_ref[:, :] - (
+            lax.broadcasted_iota(I32, (block_rows, width), 1) - HALO)
     g_full = g_ref[:, :]
 
     m = jnp.int32(0)
     for t in range(n_tiles):
-        mt = jnp.max(jnp.abs(o_full[:, HALO + t * TILE:HALO + (t + 1) * TILE]))
+        ot = o_full[:, HALO + t * TILE:HALO + (t + 1) * TILE]
+        at = jnp.abs(ot)
+        if off_sent is not None:
+            at = jnp.where(ot == off_sent, 0, at)  # inert marker
+        mt = jnp.max(at)
         m_ref[t] = mt
         m = jnp.maximum(m, mt)
     moff = m
@@ -1047,10 +1062,19 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
 
                 def work(acc):
                     g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
-                    a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
+                    if off_mode:
+                        o_i = arg_ref[:, pl.ds(HALO + i0, TILE)].astype(I32)
+                        a_i = o_i + (lanes + i0)
+                    else:
+                        a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
+                        o_i = a_i - (lanes + i0)
                     # fold the long-link filter into g before the minor-dim
-                    # expansion (Mosaic cannot expand i1 vectors)
-                    far = jnp.abs(a_i - (lanes + i0)) > rb
+                    # expansion (Mosaic cannot expand i1 vectors); inert
+                    # markers reconstruct to negative positions (no hit),
+                    # but mask them here too for safety
+                    far = jnp.abs(o_i) > rb
+                    if off_sent is not None:
+                        far = far & (o_i != off_sent)
                     g_far = jnp.where(far, g_i, 0.0)
                     hit = a_i[:, :, None] == (jlanes3 + j0)
                     contrib = jnp.where(hit, g_far[:, :, None], 0.0)
@@ -1070,10 +1094,18 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
-                                             "row_sweep", "band_cap"))
-def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
-                        row_sweep=True, band_cap=TILE):
-    """VJP routing for minplus_argmin_pallas: (R, n) g, argj -> df (R, n)."""
+                                             "row_sweep", "band_cap",
+                                             "off_sent"))
+def minplus_grad_pallas(g, argj=None, interpret=False,
+                        block_rows=MP_BLOCK_ROWS, row_sweep=True,
+                        band_cap=TILE, offsets=None, off_sent=None):
+    """VJP routing for minplus_argmin_pallas: (R, n) g, argj -> df (R, n).
+
+    Pass EITHER argj (absolute int32 winner indices) OR offsets (residual
+    o = argj - i, int16/int32, straight from the VJP residual — half the
+    stream, no absolute reconstruction). off_sent (static int): offset
+    value marking inert voxels (wall wins) — they contribute nothing.
+    """
     R, n = g.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
@@ -1081,14 +1113,30 @@ def minplus_grad_pallas(g, argj, interpret=False, block_rows=MP_BLOCK_ROWS,
     if n_tiles > 16:
         row_sweep = False
 
+    off_mode = offsets is not None
     gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=HALO)
-    # pad argj with its own global position (links of length 0, g == 0)
-    pos = jnp.broadcast_to(jnp.arange(-HALO, np_ + HALO, dtype=jnp.int32),
-                           (Rp, np_ + 2 * HALO))
-    ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
+    if off_mode and not row_sweep:
+        # the per-tile fallback kernel speaks absolute indices; rebuild
+        # them (fuses into the padding copy)
+        idx = jnp.arange(n, dtype=I32)[None, :]
+        inert = offsets == off_sent if off_sent is not None else False
+        argj = idx + jnp.where(inert, jnp.zeros((), offsets.dtype),
+                               offsets).astype(I32)
+        gp = _pad_to(jnp.where(inert, jnp.asarray(0.0, F32), g).astype(F32),
+                     Rp, np_, 0.0, halo=HALO)
+        off_mode = False
+    if off_mode:
+        # pad with zero-length links (g == 0 there)
+        ap = _pad_to(offsets, Rp, np_, 0, halo=HALO)
+    else:
+        # pad argj with its own global position (links of length 0, g == 0)
+        pos = jnp.broadcast_to(jnp.arange(-HALO, np_ + HALO, dtype=I32),
+                               (Rp, np_ + 2 * HALO))
+        ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
     if row_sweep:
         kernel = functools.partial(_minplus_grad_rowsweep_kernel,
-                                   band_cap=band_cap)
+                                   band_cap=band_cap, off_mode=off_mode,
+                                   off_sent=off_sent if off_mode else None)
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
     else:
         kernel = _minplus_grad_kernel

@@ -358,3 +358,56 @@ def test_argmin_walls_as_counts_matches_f32_walls():
                                             interpret=True, row_sweep=sweep)
         assert np.array_equal(np.array(d_f), np.array(d_c)), sweep
         assert np.array_equal(np.array(a_f), np.array(a_c)), sweep
+
+
+def test_grad_gather_offsets_mode_matches_absolute():
+    """Residual-offset input (int16, optional inert sentinel) must match
+    the absolute-argj path exactly, including capped bands."""
+    rng = np.random.default_rng(11)
+    R, n = 32, 512
+    i = np.arange(n)
+    off = rng.integers(-12, 13, size=(R, n))
+    off = np.where(rng.random((R, n)) < 0.02,
+                   rng.integers(-300, 301, size=(R, n)), off)
+    argj = np.clip(i[None, :] + off, 0, n - 1).astype(np.int32)
+    o = (argj - i[None, :]).astype(np.int16)
+    g = rng.standard_normal((R, n)).astype(np.float32)
+
+    # inert sentinel on some voxels: absolute path = zero-length link + g=0
+    sent = np.int16(np.iinfo(np.int16).min)
+    inert = rng.random((R, n)) < 0.1
+    o_s = np.where(inert, sent, o)
+    gm = np.where(inert, 0.0, g).astype(np.float32)
+    links = np.where(inert, i[None, :], argj).astype(np.int32)
+
+    rows = np.arange(R)[:, None]
+    ref = np.zeros((R, n), np.float32)
+    np.add.at(ref, (rows.repeat(n, 1), links), gm)
+
+    for cap in (16, 128):
+        out = np.array(pk.minplus_grad_pallas(
+            jnp.asarray(g), offsets=jnp.asarray(o_s), off_sent=int(sent),
+            interpret=True, band_cap=cap))
+        assert np.allclose(out, ref, atol=1e-5), cap
+    # no-sentinel variant vs absolute argj
+    ref2 = np.zeros((R, n), np.float32)
+    np.add.at(ref2, (rows.repeat(n, 1), argj), g)
+    out2 = np.array(pk.minplus_grad_pallas(
+        jnp.asarray(g), offsets=jnp.asarray(o), interpret=True))
+    assert np.allclose(out2, ref2, atol=1e-5)
+    # long-row fallback (n_tiles > 16 -> per-tile kernel via reconstruction)
+    n2 = 17 * 128
+    o_l = rng.integers(-5, 6, size=(4, n2)).astype(np.int16)
+    i2 = np.arange(n2)[None, :]
+    o_l = np.where(i2 + o_l < 0, 0, o_l)
+    o_l = np.where(i2 + o_l >= n2, 0, o_l)
+    o_ls = np.where(rng.random((4, n2)) < 0.1, sent, o_l)
+    g_l = rng.standard_normal((4, n2)).astype(np.float32)
+    ref3 = np.zeros((4, n2), np.float32)
+    links3 = np.where(o_ls == sent, i2, i2 + o_ls).astype(np.int64)
+    gm3 = np.where(o_ls == sent, 0.0, g_l)
+    np.add.at(ref3, (np.arange(4)[:, None].repeat(n2, 1), links3), gm3)
+    out3 = np.array(pk.minplus_grad_pallas(
+        jnp.asarray(g_l), offsets=jnp.asarray(o_ls), off_sent=int(sent),
+        interpret=True))
+    assert np.allclose(out3, ref3, atol=1e-5)
