@@ -140,11 +140,18 @@ def _make_minplus_hard(binary_heights):
         return _minplus_hard_with_arg(f, w2)
 
     def fwd(f, w2):
-        d, argj = fwd_impl(f, w2)
         n = f.shape[1]
+        if not binary_heights and _use_pallas():
+            from edt_tpu.ops import pallas_kernels
+
+            # the kernel emits the narrow offset residual directly
+            d, o = pallas_kernels.minplus_argmin_pallas(f, w2,
+                                                        emit_offsets=True)
+            return d, (o, w2, n)
+        d, argj = fwd_impl(f, w2)
         idt = _link_dtype(n)
         # store residual offsets o = argj - i (narrow dtype); the bwd
-        # reconstruction fuses into the gather kernel's padding copy
+        # consumes them directly (offsets-mode gather)
         o = (argj - jnp.arange(n, dtype=jnp.int32)[None, :]).astype(idt)
         return d, (o, w2, n)
 
@@ -526,8 +533,16 @@ def _make_minplus_hard_walled(binary_heights):
         return fwd_impl(f, w2, cnt)[0]
 
     def fwd(f, w2, cnt):
-        out, argj = fwd_impl(f, w2, cnt)
         n = f.shape[1]
+        if not binary_heights and _use_pallas():
+            from edt_tpu.ops import pallas_kernels
+
+            # kernel emits the narrow offset residual (wall wins already
+            # sentinel-encoded) — no XLA conversion pass
+            out, o = pallas_kernels.minplus_argmin_pallas(
+                f, w2, walls=cnt, emit_offsets=True)
+            return out, (o, w2, n, cnt.shape)
+        out, argj = fwd_impl(f, w2, cnt)
         idt = _link_dtype(n)
         sent = jnp.asarray(jnp.iinfo(idt).min, idt)  # wall-win marker
         idx = jnp.arange(n, dtype=jnp.int32)[None, :]

@@ -484,7 +484,7 @@ def _wall_tile(walls_ref, sl, w2, wall_sent):
 
 def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
                            block_rows, arg_band_r=48, walled=False,
-                           wall_sent=None):
+                           wall_sent=None, off_dtype=None):
     if walled:
         walls_ref, out_ref, arg_ref = rest
     else:
@@ -633,12 +633,21 @@ def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
 
         best, arg = lax.cond(radius <= R0, banded_done,
                              wide_then_maybe_tiled, 0)
+        ww = None
         if walled:
             ww = wall_i < best  # ties stay with the min-plus candidate
             best = jnp.where(ww, wall_i, best)
-            arg = jnp.where(ww, -(ilanes + i0) - 1, arg)
         out_ref[:, pl.ds(i0, TILE)] = best
-        arg_ref[:, pl.ds(i0, TILE)] = arg
+        if off_dtype is not None:
+            off = arg - (ilanes + i0)
+            if ww is not None:
+                off = jnp.where(ww, jnp.int32(jnp.iinfo(off_dtype).min),
+                                off)
+            arg_ref[:, pl.ds(i0, TILE)] = off.astype(off_dtype)
+        else:
+            if ww is not None:
+                arg = jnp.where(ww, -(ilanes + i0) - 1, arg)
+            arg_ref[:, pl.ds(i0, TILE)] = arg
         return 0
 
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
@@ -647,7 +656,7 @@ def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
 def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
                                     n_tiles, block_rows, arg_band_r=64,
                                     probe_r=16, walled=False,
-                                    wall_sent=None):
+                                    wall_sent=None, off_dtype=None):
     """Offset-major argmin variant: whole-row rolls shared across tiles.
 
     Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
@@ -666,10 +675,15 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
     route their cotangents to the constant instead of a candidate.
     """
     if walled:
-        walls_ref, out_ref, arg_ref, rad_ref = rest
+        walls_ref, out_ref, arg_out_ref, rad_ref = rest[:4]
     else:
         walls_ref = None
-        out_ref, arg_ref, rad_ref = rest
+        out_ref, arg_out_ref, rad_ref = rest[:3]
+    # emit_offsets mode: absolute winner indices accumulate in an i32 VMEM
+    # scratch; the epilogue writes narrow offset residuals to arg_out_ref
+    # (the VJP residual stream halves and the XLA argj -> o conversion
+    # pass disappears)
+    arg_ref = rest[-1] if off_dtype is not None else arg_out_ref
     w2 = w2_ref[0]
     n = n_tiles * TILE
     width = n + 2 * HALO
@@ -821,13 +835,23 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         lax.cond(radius > swept, tiled, lambda _: 0, 0)
         # clamp: padded-halo winners only occur for all-INF rows
         arg = jnp.clip(arg_ref[:, pl.ds(i0, TILE)], 0, n - 1)
+        ww = None
         if walled:
             wl = _wall_tile(walls_ref, pl.ds(i0, TILE), w2, wall_sent)
             best = out_ref[:, pl.ds(i0, TILE)]
             ww = wl < best  # ties stay with the min-plus candidate
             out_ref[:, pl.ds(i0, TILE)] = jnp.where(ww, wl, best)
-            arg = jnp.where(ww, -(lanes + i0) - 1, arg)
-        arg_ref[:, pl.ds(i0, TILE)] = arg
+        if off_dtype is not None:
+            off = arg - (lanes + i0)
+            if ww is not None:
+                # wall wins: inert sentinel (the VJP's _link_dtype marker)
+                off = jnp.where(ww, jnp.int32(jnp.iinfo(off_dtype).min),
+                                off)
+            arg_out_ref[:, pl.ds(i0, TILE)] = off.astype(off_dtype)
+        else:
+            if ww is not None:
+                arg = jnp.where(ww, -(lanes + i0) - 1, arg)
+            arg_out_ref[:, pl.ds(i0, TILE)] = arg
         return 0
 
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
@@ -835,12 +859,18 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
-                              "row_sweep")
+                              "row_sweep", "emit_offsets")
 )
 def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
                           block_rows=MP_BLOCK_ROWS, arg_band_r=48,
-                          row_sweep=True):
+                          row_sweep=True, emit_offsets=False):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index.
+
+    emit_offsets=True: the second output is the residual OFFSET o =
+    argj - i in the narrow _link_dtype (int16 when n <= 16000), with wall
+    wins as the dtype-min sentinel — exactly the VJP residual encoding of
+    edt_tpu.models.soft, formed in-register (no XLA conversion pass, half
+    the residual stream).
 
     walls: optional (R, n) per-voxel constant upper bound, min'd into
     the result in-kernel (multi-label boundary parabolas). f32: squared
@@ -878,17 +908,24 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
         else:
             operands.append(_pad_to(walls.astype(F32), Rp, np_, _INF,
                                     halo=0))
+    off_dtype = None
+    arg_out_dtype = I32
+    if emit_offsets:
+        off_dtype = jnp.int16 if n <= 16000 else jnp.int32
+        arg_out_dtype = off_dtype
     if row_sweep:
         kernel = functools.partial(
             _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
             block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
-            wall_sent=wall_sent)
+            wall_sent=wall_sent, off_dtype=off_dtype)
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
+        if emit_offsets:
+            scratch.append(pltpu.VMEM((block_rows, np_), I32))
     else:
         kernel = functools.partial(
             _minplus_argmin_kernel, n_tiles=n_tiles,
             block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
-            wall_sent=wall_sent)
+            wall_sent=wall_sent, off_dtype=off_dtype)
         scratch = []
     d, arg = pl.pallas_call(
         kernel,
@@ -896,7 +933,7 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
         in_specs=in_specs,
         out_specs=(row_spec, row_spec),
         out_shape=(jax.ShapeDtypeStruct((Rp, np_), F32),
-                   jax.ShapeDtypeStruct((Rp, np_), I32)),
+                   jax.ShapeDtypeStruct((Rp, np_), arg_out_dtype)),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)

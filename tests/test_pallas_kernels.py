@@ -411,3 +411,29 @@ def test_grad_gather_offsets_mode_matches_absolute():
         jnp.asarray(g_l), offsets=jnp.asarray(o_ls), off_sent=int(sent),
         interpret=True))
     assert np.allclose(out3, ref3, atol=1e-5)
+
+
+def test_argmin_emit_offsets_matches_absolute():
+    """emit_offsets=True must return o = argj - i (int16, wall wins as
+    dtype-min sentinel) for both kernel variants, walled and not."""
+    rng = np.random.default_rng(13)
+    n = 300
+    f = np.full((9, n), 700.0, np.float32)
+    f[rng.random((9, n)) > 0.85] = 0.0
+    cnt = rng.integers(1, 12, size=(9, n)).astype(np.int16)
+    w2 = jnp.float32(1.3)
+    i = np.arange(n, dtype=np.int32)[None, :]
+    sent = np.iinfo(np.int16).min
+    for walls in (None, jnp.asarray(cnt)):
+        for sweep in (False, True):
+            d_a, a_a = pk.minplus_argmin_pallas(
+                jnp.asarray(f), w2, walls=walls, interpret=True,
+                row_sweep=sweep)
+            d_o, o = pk.minplus_argmin_pallas(
+                jnp.asarray(f), w2, walls=walls, interpret=True,
+                row_sweep=sweep, emit_offsets=True)
+            assert o.dtype == jnp.int16
+            assert np.array_equal(np.array(d_a), np.array(d_o))
+            a_a = np.array(a_a)
+            exp = np.where(a_a >= 0, a_a - i, sent).astype(np.int16)
+            assert np.array_equal(np.array(o), exp), (walls is None, sweep)
