@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--sections", default="all",
-                    help="comma list: binary,multilabel,sdf,soft,each,vg")
+                    help="comma list: binary,multilabel,mlgrad,sdf,soft,each,vg")
     args = ap.parse_args()
     S = args.size
     vox = S**3
@@ -120,6 +120,38 @@ def main():
     if want("sdf"):
         dt = chain_timer(sdf_step, args.iters)(lab)
         results["sdfsq"] = {"s": dt, "Mvox/s": vox / dt / 1e6}
+
+    # ---- wall-faithful multi-label fwd+bwd (the bench.py headline) ----
+    if want("mlgrad"):
+        occ_ml = jnp.asarray((labels != 0).astype(np.float32))
+        barrier = float(np.sum((np.asarray(anis6) * S) ** 2))
+
+        def mlgrad_step(lab_occ, i):
+            l, x = lab_occ
+            o = x.at[0, 0, i].set(0.0)
+            g = jax.grad(
+                lambda oo: jnp.sum(
+                    soft.multilabel_edtsq(l, oo, tuple(np.asarray(anis6)),
+                                          black_border=True, barrier=barrier,
+                                          binary_occupancy=True)
+                )
+            )(o)
+            return g[1, 1, 1]
+
+        dt = chain_timer(mlgrad_step, args.iters)((lab, occ_ml))
+        results["multilabel_fwd_bwd"] = {"s": dt, "Mvox/s": vox / dt / 1e6}
+
+        def mlfwd_step(lab_occ, i):
+            l, x = lab_occ
+            o = x.at[0, 0, i].set(0.0)
+            d = soft.multilabel_edtsq(l, o, tuple(np.asarray(anis6)),
+                                      black_border=True, barrier=barrier,
+                                      binary_occupancy=True)
+            return d[S // 2, S // 2, S // 2]
+
+        dt = chain_timer(mlfwd_step, args.iters)((lab, occ_ml))
+        results["multilabel_fwd_only_differentiable"] = {
+            "s": dt, "Mvox/s": vox / dt / 1e6}
 
     # ---- soft EDT fwd+bwd ----
     Ssoft = min(S, 256)
