@@ -44,6 +44,18 @@ INF = jnp.inf
 _ROW_CHUNK = 256
 
 
+def _grad_band_cap():
+    """Static band cap for the VJP grad-gather kernel (sweep knob).
+
+    Links longer than the cap are credited by the kernel's supplemental
+    per-source-tile pass, so the value affects speed only, never
+    correctness (tests/test_pallas_kernels.py band-cap variants)."""
+    import os
+
+    v = os.environ.get("EDT_TPU_GRAD_BAND_CAP")
+    return int(v) if v else None
+
+
 def _chunk_rows(f, row_chunk):
     R, n = f.shape
     pad = (-R) % row_chunk
@@ -161,7 +173,10 @@ def _make_minplus_hard(binary_heights):
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
 
-            df = pallas_kernels.minplus_grad_pallas(g, offsets=o)
+            cap = _grad_band_cap()
+            df = pallas_kernels.minplus_grad_pallas(
+                g, offsets=o,
+                **({"band_cap": cap} if cap else {}))
         else:
             idx = jnp.arange(n, dtype=jnp.int32)[None, :]
             argj = idx + o.astype(jnp.int32)
@@ -562,8 +577,10 @@ def _make_minplus_hard_walled(binary_heights):
 
             # raw g + sentinel offsets: wall wins are inert in-kernel, no
             # gm/links materialization at all
-            df = pallas_kernels.minplus_grad_pallas(g, offsets=o,
-                                                    off_sent=sent)
+            cap = _grad_band_cap()
+            df = pallas_kernels.minplus_grad_pallas(
+                g, offsets=o, off_sent=sent,
+                **({"band_cap": cap} if cap else {}))
         else:
             idx = jnp.arange(n, dtype=jnp.int32)[None, :]
             links = idx + om.astype(jnp.int32)  # wall wins: 0-length link
