@@ -56,6 +56,21 @@ def _grad_band_cap():
     return int(v) if v else None
 
 
+def _argmin_kwargs():
+    """Static sweep knobs for the forward argmin kernels (hardware tuning
+    only — every value is exact; defaults are the measured optima)."""
+    import os
+
+    kw = {}
+    v = os.environ.get("EDT_TPU_ARG_BAND_R")
+    if v:
+        kw["arg_band_r"] = int(v)
+    v = os.environ.get("EDT_TPU_BLOCK_ROWS")
+    if v:
+        kw["block_rows"] = int(v)
+    return kw
+
+
 def _chunk_rows(f, row_chunk):
     R, n = f.shape
     pad = (-R) % row_chunk
@@ -83,7 +98,7 @@ def _minplus_hard_with_arg(f, w2):
     if _use_pallas():
         from edt_tpu.ops import pallas_kernels
 
-        return pallas_kernels.minplus_argmin_pallas(f, w2)
+        return pallas_kernels.minplus_argmin_pallas(f, w2, **_argmin_kwargs())
 
     R, n = f.shape
     i = jnp.arange(n, dtype=F32)
@@ -157,7 +172,7 @@ def _make_minplus_hard(binary_heights):
             from edt_tpu.ops import pallas_kernels
 
             # the kernel emits the narrow offset residual directly
-            d, o = pallas_kernels.minplus_argmin_pallas(f, w2,
+            d, o = pallas_kernels.minplus_argmin_pallas(f, w2, **_argmin_kwargs(),
                                                         emit_offsets=True)
             return d, (o, w2, n)
         d, argj = fwd_impl(f, w2)
@@ -533,7 +548,8 @@ def _make_minplus_hard_walled(binary_heights):
             # pruning happen in-kernel (one stream, no clamp round-trip)
             from edt_tpu.ops import pallas_kernels
 
-            return pallas_kernels.minplus_argmin_pallas(f, w2, walls=cnt)
+            return pallas_kernels.minplus_argmin_pallas(f, w2, walls=cnt,
+                                                        **_argmin_kwargs())
         walls = _walls_from_counts(cnt, w2)
         if binary_heights:
             d, argj = _minplus_hard_binary_with_arg(f, w2)
@@ -555,7 +571,7 @@ def _make_minplus_hard_walled(binary_heights):
             # kernel emits the narrow offset residual (wall wins already
             # sentinel-encoded) — no XLA conversion pass
             out, o = pallas_kernels.minplus_argmin_pallas(
-                f, w2, walls=cnt, emit_offsets=True)
+                f, w2, walls=cnt, emit_offsets=True, **_argmin_kwargs())
             return out, (o, w2, n, cnt.shape)
         out, argj = fwd_impl(f, w2, cnt)
         idt = _link_dtype(n)
