@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--section", default="all",
                     choices=["all", "stages", "kernels", "full", "binary",
-                             "roofline"])
+                             "roofline", "grad"])
     args = ap.parse_args()
     S, K = args.size, args.iters
     sec = args.section
@@ -177,6 +177,53 @@ def main():
         print(f"  achieved: {achieved_gops:.0f} Gop/s = "
               f"{100 * achieved_gops / VPU_GOPS:.1f}% of VPU roof "
               f"({VPU_GOPS:.0f} Gop/s)")
+
+    if sec == "grad":
+        # fwd / bwd split of the wall-faithful headline (bench.py workload)
+        from edt_tpu.models import soft
+
+        aniso = (6.0, 6.0, 30.0)
+        barrier = float(np.sum((np.asarray(aniso) * S) ** 2))
+        occ = jnp.asarray((labels_np != 0).astype(np.float32))
+        kw = dict(anisotropy=aniso, black_border=True, barrier=barrier,
+                  binary_occupancy=True)
+
+        def fwd_step(x, i):
+            return soft.multilabel_edtsq(lab, x.at[0, 0, i].set(0.0), **kw)
+
+        t_f = timed("multilabel_edtsq fwd (residual-emitting)", fwd_step,
+                    occ, K)
+
+        def fb_step(x, i):
+            return jax.grad(lambda o: jnp.sum(
+                soft.multilabel_edtsq(lab, o, **kw)))(x.at[0, 0, i].set(0.0))
+
+        t_fb = timed("multilabel_edtsq fwd+bwd", fb_step, occ, K)
+        print(f"  bwd = {1e3*(t_fb - t_f):.1f} ms ({t_fb/t_f:.2f}x fwd; "
+              f"target <= 1.40x)")
+        if jax.default_backend() != "tpu":
+            return  # per-kernel isolation below is TPU-only (Mosaic)
+        # one walled argmin pass vs its grad gather, in isolation
+        cnt = jnp.moveaxis(soft._wall_counts(lab, 0, True), 0,
+                           -1).reshape(-1, S)
+        fw = jnp.moveaxis(f0, 0, -1).reshape(-1, S)
+
+        def argmin_step(x, i):
+            d, o = pk.minplus_argmin_pallas(x, w2, walls=cnt,
+                                            emit_offsets=True)
+            return d + o.astype(jnp.float32)
+
+        timed("one walled argmin pass (emit_offsets)", argmin_step, fw, K)
+        d0, o0 = jax.jit(lambda x: pk.minplus_argmin_pallas(
+            x, w2, walls=cnt, emit_offsets=True))(fw)
+        sent = int(jnp.iinfo(o0.dtype).min)
+        stacked_g = jnp.stack([fw, o0.astype(jnp.float32)])
+
+        def grad_step(x, i):
+            return pk.minplus_grad_pallas(x[0], offsets=x[1].astype(o0.dtype),
+                                          off_sent=sent)
+
+        timed("one grad gather pass (offsets mode)", grad_step, stacked_g, K)
 
     if sec in ("all", "binary"):
         # binary all-ones cube with black border (reference headline config)
