@@ -517,12 +517,6 @@ def _walls_from_counts(cnt, w2):
     return jnp.where(cnt >= sent, INF, w2 * c * c)
 
 
-def _wall_field_sq(labels_ax, w2, black_border):
-    """Squared distance to the nearest label-boundary wall along axis -1."""
-    return _walls_from_counts(
-        _wall_counts(labels_ax, labels_ax.ndim - 1, black_border), w2)
-
-
 @functools.lru_cache(maxsize=2)
 def _make_minplus_hard_walled(binary_heights):
     """Hard min-plus fused with the wall clamp: out = where(d <= walls, d,
