@@ -179,43 +179,58 @@ def main():
               f"({VPU_GOPS:.0f} Gop/s)")
 
     if sec == "grad":
-        # fwd / bwd split of the wall-faithful headline (bench.py workload)
+        # fwd / bwd split of the wall-faithful headline (bench.py workload).
+        # Deliberately NOT part of --section all: it adds two extra
+        # full-volume jit compiles (minutes over the remote-compile tunnel);
+        # run it explicitly. All big arrays ride the jit ARGUMENT (stacked
+        # as f32 — label values 0..5 and int16 wall counts survive the f32
+        # round trip exactly): closing over them embeds constants and the
+        # tunnel rejects the oversized program (HTTP 413).
         from edt_tpu.models import soft
 
         aniso = (6.0, 6.0, 30.0)
         barrier = float(np.sum((np.asarray(aniso) * S) ** 2))
-        occ = jnp.asarray((labels_np != 0).astype(np.float32))
+        occ_np = (labels_np != 0).astype(np.float32)
         kw = dict(anisotropy=aniso, black_border=True, barrier=barrier,
                   binary_occupancy=True)
+        stacked_lo = jnp.stack([jnp.asarray(labels_np.astype(np.float32)),
+                                jnp.asarray(occ_np)])
 
         def fwd_step(x, i):
-            return soft.multilabel_edtsq(lab, x.at[0, 0, i].set(0.0), **kw)
+            l = x[0].astype(jnp.uint32)
+            return soft.multilabel_edtsq(l, x[1].at[0, 0, i].set(0.0), **kw)
 
         t_f = timed("multilabel_edtsq fwd (residual-emitting)", fwd_step,
-                    occ, K)
+                    stacked_lo, K)
 
         def fb_step(x, i):
+            l = x[0].astype(jnp.uint32)
             return jax.grad(lambda o: jnp.sum(
-                soft.multilabel_edtsq(lab, o, **kw)))(x.at[0, 0, i].set(0.0))
+                soft.multilabel_edtsq(l, o, **kw)))(x[1].at[0, 0, i].set(0.0))
 
-        t_fb = timed("multilabel_edtsq fwd+bwd", fb_step, occ, K)
+        t_fb = timed("multilabel_edtsq fwd+bwd", fb_step, stacked_lo, K)
         print(f"  bwd = {1e3*(t_fb - t_f):.1f} ms ({t_fb/t_f:.2f}x fwd; "
               f"target <= 1.40x)")
         if jax.default_backend() != "tpu":
             return  # per-kernel isolation below is TPU-only (Mosaic)
         # one walled argmin pass vs its grad gather, in isolation
-        cnt = jnp.moveaxis(soft._wall_counts(lab, 0, True), 0,
-                           -1).reshape(-1, S)
+        cnt = jax.jit(lambda l: jnp.moveaxis(
+            soft._wall_counts(l, 0, True), 0, -1).reshape(-1, S))(lab)
         fw = jnp.moveaxis(f0, 0, -1).reshape(-1, S)
+        cnt_dt = cnt.dtype
+        stacked_fc = jnp.stack([fw, cnt.astype(jnp.float32)])
 
         def argmin_step(x, i):
-            d, o = pk.minplus_argmin_pallas(x, w2, walls=cnt,
+            d, o = pk.minplus_argmin_pallas(x[0], w2,
+                                            walls=x[1].astype(cnt_dt),
                                             emit_offsets=True)
             return d + o.astype(jnp.float32)
 
-        timed("one walled argmin pass (emit_offsets)", argmin_step, fw, K)
+        timed("one walled argmin pass (emit_offsets)", argmin_step,
+              stacked_fc, K)
         d0, o0 = jax.jit(lambda x: pk.minplus_argmin_pallas(
-            x, w2, walls=cnt, emit_offsets=True))(fw)
+            x[0], w2, walls=x[1].astype(cnt_dt),
+            emit_offsets=True))(stacked_fc)
         sent = int(jnp.iinfo(o0.dtype).min)
         stacked_g = jnp.stack([fw, o0.astype(jnp.float32)])
 

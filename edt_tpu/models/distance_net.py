@@ -114,7 +114,12 @@ def init_sharded_opt_state(mesh, optimizer, params, dp_axis="dp",
     n = mesh.shape[dp_axis] * mesh.shape[sp_axis]
     flat_params = jax.tree.map(lambda p: _pad_flat(p, n), params)
     opt_state = optimizer.init(flat_params)
-    shard = NamedSharding(mesh, P((dp_axis, sp_axis)))
+    # sp-MAJOR shard order: device (dp, sp) owns global block sp*n_dp + dp,
+    # matching the train step's sp-then-dp psum_scatter and _own_slice —
+    # a dp-major spec would silently pair each device's param/grad block
+    # with another device's moment block (invisible with zero-init moments,
+    # wrong after a checkpoint restore or for param-carrying optimizers)
+    shard = NamedSharding(mesh, P((sp_axis, dp_axis)))
     rep = NamedSharding(mesh, P())
     return jax.tree.map(
         lambda x: jax.device_put(x, shard if jnp.ndim(x) else rep), opt_state
@@ -193,9 +198,10 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
         params_template,
     )
     opt_struct = jax.eval_shape(optimizer.init, flat_struct)
-    # moment buffers shard over the whole mesh; scalars stay replicated
+    # moment buffers shard over the whole mesh (sp-major, mirroring
+    # _own_slice's idx = sp*n_dp + dp); scalars stay replicated
     opt_specs = jax.tree.map(
-        lambda x: P((dp_axis, sp_axis)) if x.ndim else P(), opt_struct
+        lambda x: P((sp_axis, dp_axis)) if x.ndim else P(), opt_struct
     )
 
     def _reduce_scatter(gleaf):

@@ -566,7 +566,7 @@ def _make_minplus_hard_walled(binary_heights):
             # sentinel-encoded) — no XLA conversion pass
             out, o = pallas_kernels.minplus_argmin_pallas(
                 f, w2, walls=cnt, emit_offsets=True, **_argmin_kwargs())
-            return out, (o, w2, n, cnt.shape)
+            return out, (o, w2, n, cnt)
         out, argj = fwd_impl(f, w2, cnt)
         idt = _link_dtype(n)
         sent = jnp.asarray(jnp.iinfo(idt).min, idt)  # wall-win marker
@@ -574,10 +574,10 @@ def _make_minplus_hard_walled(binary_heights):
         # residual offsets, narrow dtype; |o| < n < |sent| so the marker
         # can never collide with a real link
         o = jnp.where(argj >= 0, (argj - idx).astype(idt), sent)
-        return out, (o, w2, n, cnt.shape)
+        return out, (o, w2, n, cnt)
 
     def bwd(res, g):
-        o, w2, n, cnt_shape = res
+        o, w2, n, cnt = res
         sent = int(jnp.iinfo(o.dtype).min)
         win = o != sent
         gm = jnp.where(win, g, jnp.asarray(0.0, F32))
@@ -597,23 +597,32 @@ def _make_minplus_hard_walled(binary_heights):
             rows = jnp.arange(o.shape[0], dtype=jnp.int32)[:, None]
             df = jnp.zeros(g.shape, g.dtype).at[rows, links].add(gm)
         dw2 = jnp.sum(gm * om.astype(F32) ** 2)
+        # wall-won voxels return out = w2 * cnt^2, so they contribute
+        # g * cnt^2 to dw2 (wall wins always have finite counts: sentinel
+        # counts mean an INF wall, which never beats the candidate).
+        # cnt rides the residuals for this term alone; when w2 is a
+        # constant (every in-repo caller) the whole dw2 path is dead code
+        # XLA eliminates, residual included.
+        c = cnt.astype(F32)
+        dw2 = dw2 + jnp.sum(jnp.where(win, jnp.asarray(0.0, F32), g * c * c))
         # integer wall counts take a float0 cotangent (walls are
-        # label-derived constants; their old f32 cotangent was always
-        # discarded behind a stop_gradient anyway)
-        dcnt = np.zeros(cnt_shape, jax.dtypes.float0)
+        # label-derived constants)
+        dcnt = np.zeros(cnt.shape, jax.dtypes.float0)
         return df, dw2, dcnt
 
     mhw.defvjp(fwd, bwd)
     return mhw
 
 
-def _multilabel_pass(f, wall_cnt_ax, w, black_border, temperature,
-                     binary_heights=False):
+def _multilabel_pass(f, wall_cnt_ax, w, temperature, binary_heights=False):
     """One differentiable multi-label min-plus pass along the last axis.
 
     wall_cnt_ax: integer wall counts along the same (last) axis — from
     _wall_counts, precomputed in the volume's original layout so the
-    per-pass transpose moves 2-byte counts, not 4-byte labels."""
+    per-pass transpose moves 2-byte counts, not 4-byte labels. Border
+    behavior is fully encoded in the counts (black_border edges become
+    walls in _wall_counts) — there is deliberately no per-pass border
+    handling here."""
     n = f.shape[-1]
     w = jnp.asarray(w, F32)
     w2 = w * w
@@ -691,7 +700,7 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
         f = jnp.moveaxis(
             _multilabel_pass(
                 jnp.moveaxis(f, ax, -1), jnp.moveaxis(cnt, ax, -1),
-                anisotropy[ax], black_border, temperature,
+                anisotropy[ax], temperature,
                 binary_heights=binary_occupancy and step == 0,
             ),
             -1,

@@ -106,6 +106,20 @@ def test_reduce_scatter_step_matches_psum_step():
     assert np.isclose(float(l1), float(l2), rtol=1e-5)
     for k in params:
         assert np.allclose(np.array(p1[k]), np.array(p2[k]), atol=1e-6), k
+
+    # the sharded opt state's GLOBAL layout must equal the replicated
+    # step's moments on the flat(param) layout — zero-init moments make a
+    # dp/sp-major block permutation invisible in the params comparison
+    # above, but not here after one step (mu = (1-b1) * grad != const)
+    _, opt1, _ = step_psum(params, optimizer.init(params), feats, target)
+    for ref, shd in zip(jax.tree.leaves(opt1), jax.tree.leaves(opt_rs2)):
+        ref = np.asarray(ref)
+        shd = np.asarray(shd)
+        if ref.ndim == 0:
+            assert np.allclose(ref, shd)
+        else:
+            assert np.allclose(ref.reshape(-1), shd[: ref.size], atol=1e-6)
+
     # second step consumes the returned (still-sharded) opt state
     p3, _, l3 = step_rs(p2, opt_rs2, feats, target)
     assert np.isfinite(float(l3)) and not np.allclose(

@@ -265,12 +265,11 @@ def test_sharded_multilabel_soft_matches_single(temperature):
 
         return f(lab, o)
 
-    # t > 0: softmin composition is order-dependent and the sharded path
-    # must run the sharded axis 0 last (its pass needs the all_to_all), so
-    # when axis 0 is not the sorted-last axis the results differ by a
-    # bounded smoothing term ~exp(-gap/t) (documented in
-    # edtsq_from_heights); t == 0 composition is order-independent (exact)
-    rtol, atol = (1e-6, 1e-5) if temperature == 0 else (1e-3, 5e-4)
+    # the rotated axis-0 pass runs at its natural ascending-pitch position
+    # (edtsq_from_heights), so sharded and single-chip compose IDENTICALLY
+    # — even at t > 0 where softmin composition is order-dependent — and
+    # values must agree to f32 round-off at any temperature
+    rtol, atol = 1e-5, 1e-5
     d_s = np.array(run_sharded(labels, occ))
     d_1 = np.array(soft.multilabel_edtsq(labels, occ, **kw))
     np.testing.assert_allclose(d_s, d_1, rtol=rtol, atol=atol)

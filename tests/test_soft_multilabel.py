@@ -209,3 +209,35 @@ def test_long_row_int32_link_residuals():
     assert (g[occ > 0] == 0).all()
     np.testing.assert_allclose(g.sum() / barrier, float((occ > 0).sum()),
                                rtol=1e-6)
+
+
+def test_walled_minplus_w2_cotangent_includes_wall_wins():
+    """d(out)/d(w2) at wall-won voxels is cnt^2 (out = w2 * cnt^2 there) —
+    the VJP must credit it, not just the candidate-won o^2 term.
+
+    Checked against finite differences of the walled pass on a row where
+    some voxels are wall-won (barrier heights near a label boundary) and
+    some candidate-won."""
+    rng = np.random.default_rng(11)
+    n = 24
+    f = jnp.asarray(
+        np.where(rng.random((3, n)) < 0.3, 0.0, 50.0).astype(np.float32))
+    # walls a few voxels out on each side (finite counts everywhere)
+    cnt = jnp.asarray(
+        np.minimum(np.arange(1, n + 1), np.arange(n, 0, -1))[None, :]
+        .repeat(3, 0).astype(np.int16))
+    mhw = soft._make_minplus_hard_walled(False)
+
+    def total(w2):
+        return jnp.sum(mhw(f, w2, cnt))
+
+    w2 = jnp.float32(1.7)
+    out = mhw(f, w2, cnt)
+    walls = soft._walls_from_counts(cnt, w2)
+    assert bool(jnp.any(out == walls) and jnp.any(out < walls)), (
+        "test workload must contain both wall-won and candidate-won voxels")
+    g = float(jax.grad(total)(w2))
+    eps = 1e-3
+    fd = (float(total(jnp.float32(1.7 + eps)))
+          - float(total(jnp.float32(1.7 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-3)
