@@ -1023,6 +1023,14 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     block through extra sweep offsets (every offset costs a whole-row
     roll) or full tile-pair gathers.
 
+    HALO-FREE: unlike the forward sweeps (whose rolls drag real f values
+    across row ends at wrong quadratic cost without an INF halo), every
+    VALID link here stays inside the row (argmin j in [0, n)), so the
+    rotating accumulator is exact under plain circular rolls of width n —
+    j -> (j + s) % width is a bijection and no contribution ever lands on
+    a foreign target. Dropping the 2*HALO pad cuts roll traffic by
+    2*HALO/n (33% at n = 512), and rolls dominate the sweep.
+
     off_mode: arg_ref holds residual OFFSETS o = argj - i (int16/int32 —
     half the argj stream, straight from the VJP residual, no absolute
     reconstruction). off_sent (static): inert-marker offset value (wall
@@ -1030,21 +1038,21 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     position is negative, so those voxels contribute nothing — exactly
     the zeroed-g + zero-length-link encoding of the absolute path."""
     n = n_tiles * TILE
-    width = n + 2 * HALO
+    width = n
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
     if off_mode:
         o_full = arg_ref[:, :].astype(I32)
     else:
-        # residual links o[i] = argj[i] - i over the whole padded row (0 in
-        # padding/halo where argj carries its own position and g == 0)
-        o_full = arg_ref[:, :] - (
-            lax.broadcasted_iota(I32, (block_rows, width), 1) - HALO)
+        # residual links o[i] = argj[i] - i over the whole row (0 in
+        # padding where argj carries its own position and g == 0)
+        o_full = arg_ref[:, :] - lax.broadcasted_iota(
+            I32, (block_rows, width), 1)
     g_full = g_ref[:, :]
 
     m = jnp.int32(0)
     for t in range(n_tiles):
-        ot = o_full[:, HALO + t * TILE:HALO + (t + 1) * TILE]
+        ot = o_full[:, t * TILE:(t + 1) * TILE]
         at = jnp.abs(ot)
         if off_sent is not None:
             at = jnp.where(ot == off_sent, 0, at)  # inert marker
@@ -1062,8 +1070,10 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         # rotating-accumulator gather: the compare+select for link offset
         # kk happens in FIXED (unrolled) index space — sel[i] = g[i] iff
         # o[i] == kk — and lands in an accumulator whose alignment rotates
-        # by one lane per step (acc[:, c] holds df[c - HALO + s] at
-        # alignment s = kk). ONE incremental roll per offset (of acc)
+        # by one lane per step (acc[:, c] holds df[(c + s) % width] at
+        # alignment s = kk; circular wrap is safe — valid links stay
+        # in-row, so j -> (j + s) % width never aliases). ONE incremental
+        # roll per offset (of acc)
         # instead of two (of g and argj) — the rolls dominate the sweep —
         # plus a single dynamic unrotation at the end.
         def body(k, acc):
@@ -1074,8 +1084,8 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         acc0 = jnp.zeros((block_rows, width), F32)
         acc = lax.fori_loop(0, 2 * rb + 1, body, acc0)
         # loop left-rotated 2rb+1 times: alignment s = rb + 1, so
-        # df[j] = acc[:, j + HALO - rb - 1]; one left-shift restores it
-        final = pltpu.roll(acc, (width - HALO + rb + 1) % width, axis=1)
+        # df[j] = acc[:, (j - rb - 1) % width]; one shift restores it
+        final = pltpu.roll(acc, (rb + 1) % width, axis=1)
         for it in range(n_tiles):
             out_ref[:, pl.ds(it * TILE, TILE)] = final[
                 :, it * TILE:(it + 1) * TILE]
@@ -1098,12 +1108,12 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
                 i0 = it * TILE
 
                 def work(acc):
-                    g_i = g_ref[:, pl.ds(HALO + i0, TILE)]
+                    g_i = g_ref[:, pl.ds(i0, TILE)]
                     if off_mode:
-                        o_i = arg_ref[:, pl.ds(HALO + i0, TILE)].astype(I32)
+                        o_i = arg_ref[:, pl.ds(i0, TILE)].astype(I32)
                         a_i = o_i + (lanes + i0)
                     else:
-                        a_i = arg_ref[:, pl.ds(HALO + i0, TILE)]
+                        a_i = arg_ref[:, pl.ds(i0, TILE)]
                         o_i = a_i - (lanes + i0)
                     # fold the long-link filter into g before the minor-dim
                     # expansion (Mosaic cannot expand i1 vectors); inert
@@ -1150,8 +1160,12 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
     if n_tiles > 16:
         row_sweep = False
 
+    # the row-sweep kernel needs NO halo (valid links never leave the row,
+    # so circular rolls are exact — see its docstring); the per-tile
+    # fallback's 3-tile windows still read one tile past each end
+    halo = 0 if row_sweep else HALO
     off_mode = offsets is not None
-    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=HALO)
+    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=halo)
     if off_mode and not row_sweep:
         # the per-tile fallback kernel speaks absolute indices; rebuild
         # them (fuses into the padding copy)
@@ -1160,16 +1174,16 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
         argj = idx + jnp.where(inert, jnp.zeros((), offsets.dtype),
                                offsets).astype(I32)
         gp = _pad_to(jnp.where(inert, jnp.asarray(0.0, F32), g).astype(F32),
-                     Rp, np_, 0.0, halo=HALO)
+                     Rp, np_, 0.0, halo=halo)
         off_mode = False
     if off_mode:
         # pad with zero-length links (g == 0 there)
-        ap = _pad_to(offsets, Rp, np_, 0, halo=HALO)
+        ap = _pad_to(offsets, Rp, np_, 0, halo=halo)
     else:
         # pad argj with its own global position (links of length 0, g == 0)
-        pos = jnp.broadcast_to(jnp.arange(-HALO, np_ + HALO, dtype=I32),
-                               (Rp, np_ + 2 * HALO))
-        ap = pos.at[:R, HALO:HALO + n].set(argj.astype(I32))
+        pos = jnp.broadcast_to(jnp.arange(-halo, np_ + halo, dtype=I32),
+                               (Rp, np_ + 2 * halo))
+        ap = pos.at[:R, halo:halo + n].set(argj.astype(I32))
     if row_sweep:
         kernel = functools.partial(_minplus_grad_rowsweep_kernel,
                                    band_cap=band_cap, off_mode=off_mode,
@@ -1183,9 +1197,9 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
                           block_rows=block_rows),
         grid=(Rp // block_rows,),
         in_specs=[
-            pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+            pl.BlockSpec((block_rows, np_ + 2 * halo), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
+            pl.BlockSpec((block_rows, np_ + 2 * halo), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, np_), lambda r: (r, 0),

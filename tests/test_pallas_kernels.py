@@ -329,6 +329,19 @@ def test_grad_gather_band_cap_variants():
         )
         assert np.allclose(out, ref, atol=1e-5), cap
 
+    # single-tile row with max-length links: rb + 1 == width exercises the
+    # halo-free accumulator's full circular wrap (unrotation amount 0)
+    n1 = 128
+    argj1 = np.zeros((4, n1), np.int32)  # every link points at column 0
+    g1 = rng.standard_normal((4, n1)).astype(np.float32)
+    ref1 = np.zeros((4, n1), np.float32)
+    ref1[:, 0] = g1.sum(axis=1)
+    out1 = np.array(
+        pk.minplus_grad_pallas(jnp.asarray(g1), jnp.asarray(argj1),
+                               interpret=True, band_cap=128)
+    )
+    assert np.allclose(out1, ref1, atol=1e-4)
+
 
 def test_argmin_walls_as_counts_matches_f32_walls():
     """Integer wall counts (w2*cnt^2 formed in-register, sentinel = open)
