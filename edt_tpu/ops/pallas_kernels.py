@@ -1062,9 +1062,8 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     moff = m
     rb = jnp.minimum(moff, jnp.int32(band_cap))  # banded range
 
-    for it in range(n_tiles):
-        out_ref[:, pl.ds(it * TILE, TILE)] = jnp.zeros(
-            (block_rows, TILE), F32)
+    # (no out_ref zero-init: banded_sweep below writes every tile, even at
+    # rb == 0 — its k == 0 step always runs)
 
     def banded_sweep(_):
         # rotating-accumulator gather: the compare+select for link offset
