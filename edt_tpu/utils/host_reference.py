@@ -200,7 +200,8 @@ def _parabolic_rows_banded(f2d, labels2d, w, black_border):
     fb = f2d.astype(np.float64)
     bound_row = np.minimum(fb, walls).max(axis=1)
     minf_row = fb.min(axis=1)
-    gap = bound_row - minf_row
+    with np.errstate(invalid="ignore"):  # inf - inf rows resolved below
+        gap = bound_row - minf_row
     gap = np.where(np.isfinite(gap), np.maximum(gap, 0.0),
                    np.where(np.isinf(minf_row), 0.0, np.inf))
     gmax = float(gap.max(initial=0.0))
