@@ -273,6 +273,11 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
+    # banded evaluations reach at most HALO lanes past a tile (whole-row
+    # rolls) / TILE lanes (3-tile windows, TILE == HALO); beyond that the
+    # rolls wrap REAL f values back at understated offsets. Clamp so every
+    # band_r value stays exact — larger radii take the tile-pair scan.
+    band_r = min(band_r, HALO)
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     w2v = jnp.asarray(w2, F32).reshape(1)
@@ -701,31 +706,25 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         out_ref[:, sl] = jnp.full((block_rows, TILE), _INF, F32)
         arg_ref[:, sl] = jnp.zeros((block_rows, TILE), I32)
 
-    def upd_tiles(wk, kk_i32, cmp_le, gate):
-        """One offset step: min-update every (gated) tile from wk."""
+    def upd_tiles(wk, kk_i32, cmp_le):
+        """One offset step: min-update every tile from wk (ungated across
+        tiles — per-(offset, tile) scalar conds measured slower than just
+        doing the (rows, TILE) update)."""
         q = w2 * (kk_i32.astype(F32) ** 2)
         for it in range(n_tiles):
             sl = pl.ds(it * TILE, TILE)
-
-            def do(_):
-                cand = wk[:, it * TILE:(it + 1) * TILE] + q
-                best = out_ref[:, sl]
-                better = (cand <= best) if cmp_le else (cand < best)
-                out_ref[:, sl] = jnp.where(better, cand, best)
-                arg_ref[:, sl] = jnp.where(
-                    better, lanes + (it * TILE) + kk_i32, arg_ref[:, sl])
-                return 0
-
-            if gate is None:
-                do(0)
-            else:
-                lax.cond(gate(it), do, lambda _: 0, 0)
+            cand = wk[:, it * TILE:(it + 1) * TILE] + q
+            best = out_ref[:, sl]
+            better = (cand <= best) if cmp_le else (cand < best)
+            out_ref[:, sl] = jnp.where(better, cand, best)
+            arg_ref[:, sl] = jnp.where(
+                better, lanes + (it * TILE) + kk_i32, arg_ref[:, sl])
 
     # ---- probe sweep ----
     wk = pltpu.roll(w0, probe_r + (width - HALO), axis=1)
 
     def probe_body(k, wk):
-        upd_tiles(wk, k - probe_r, cmp_le=False, gate=None)
+        upd_tiles(wk, k - probe_r, cmp_le=False)
         return pltpu.roll(wk, width - 1, axis=1)
 
     lax.fori_loop(0, 2 * probe_r + 1, probe_body, wk)
@@ -763,7 +762,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         wl = pltpu.roll(w0, (probe_r + 1) + (width - HALO), axis=1)
 
         def left_body(k, wl):
-            upd_tiles(wl, -(probe_r + 1) - k, cmp_le=True, gate=None)
+            upd_tiles(wl, -(probe_r + 1) - k, cmp_le=True)
             return pltpu.roll(wl, 1, axis=1)
 
         lax.fori_loop(0, rmax_ext - probe_r, left_body, wl)
@@ -772,7 +771,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         wr = pltpu.roll(w0, (width - HALO) - (probe_r + 1), axis=1)
 
         def right_body(k, wr):
-            upd_tiles(wr, (probe_r + 1) + k, cmp_le=False, gate=None)
+            upd_tiles(wr, (probe_r + 1) + k, cmp_le=False)
             return pltpu.roll(wr, width - 1, axis=1)
 
         lax.fori_loop(0, rmax_ext - probe_r, right_body, wr)
@@ -886,6 +885,12 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     Rp = -(-R // block_rows) * block_rows
     np_ = n_tiles * TILE
     walled = walls is not None
+    # band sweeps roll the INF halo in from at most HALO lanes away; a
+    # larger band would wrap REAL f values back at understated offsets
+    # (the per-tile variant separately clamps at TILE). Exactness of every
+    # knob value relies on this clamp — longer radii take the tile-pair
+    # scan instead.
+    arg_band_r = min(arg_band_r, HALO)
 
     fp = _pad_to(f.astype(F32), Rp, np_, _INF, halo=HALO)
     w2v = jnp.asarray(w2, F32).reshape(1)
@@ -1164,7 +1169,6 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
     # fallback's 3-tile windows still read one tile past each end
     halo = 0 if row_sweep else HALO
     off_mode = offsets is not None
-    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=halo)
     if off_mode and not row_sweep:
         # the per-tile fallback kernel speaks absolute indices; rebuild
         # them (fuses into the padding copy)
@@ -1172,9 +1176,19 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
         inert = offsets == off_sent if off_sent is not None else False
         argj = idx + jnp.where(inert, jnp.zeros((), offsets.dtype),
                                offsets).astype(I32)
-        gp = _pad_to(jnp.where(inert, jnp.asarray(0.0, F32), g).astype(F32),
-                     Rp, np_, 0.0, halo=halo)
+        g = jnp.where(inert, jnp.asarray(0.0, F32), g)
         off_mode = False
+    if not off_mode and row_sweep:
+        # negative argj encodes wall wins (arg = ~i) in the walled argmin's
+        # absolute mode: inert. Sanitize to zero-length links with g = 0 —
+        # the per-tile kernel's hit test drops negatives naturally, but the
+        # rotating accumulator would misread o = ~i - i as a short link
+        # and wrap the contribution across the row end.
+        idx = jnp.arange(n, dtype=I32)[None, :]
+        neg = argj < 0
+        argj = jnp.where(neg, idx, argj)
+        g = jnp.where(neg, jnp.asarray(0.0, F32), g)
+    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=halo)
     if off_mode:
         # pad with zero-length links (g == 0 there)
         ap = _pad_to(offsets, Rp, np_, 0, halo=halo)
@@ -1386,8 +1400,10 @@ def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
         out_ref[:, pl.ds(it * TILE, TILE)] = jnp.full(
             (block_rows, TILE), _INF, F32)
 
-    def min_sweep(lo_k, hi_k, gate):
-        """min-update all (gated) tiles over offsets kk in [lo_k, hi_k]."""
+    def min_sweep(lo_k, hi_k):
+        """min-update all tiles over offsets kk in [lo_k, hi_k] (ungated —
+        per-(offset, tile) scalar conds measured slower than the updates
+        they skip)."""
         wk0 = pltpu.roll(w0, (width - HALO) - lo_k, axis=1)
 
         def body(k, wk):
@@ -1395,22 +1411,14 @@ def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
             q = w2 * (kk * kk)
             for it in range(n_tiles):
                 sl = pl.ds(it * TILE, TILE)
-
-                def do(_):
-                    cand = wk[:, it * TILE:(it + 1) * TILE] + q
-                    out_ref[:, sl] = jnp.minimum(out_ref[:, sl], cand)
-                    return 0
-
-                if gate is None:
-                    do(0)
-                else:
-                    lax.cond(gate(it), do, lambda _: 0, 0)
+                cand = wk[:, it * TILE:(it + 1) * TILE] + q
+                out_ref[:, sl] = jnp.minimum(out_ref[:, sl], cand)
             return pltpu.roll(wk, width - 1, axis=1)
 
         lax.fori_loop(0, hi_k - lo_k + 1, body, wk0)
 
     # ---- phase A: dmin ----
-    min_sweep(jnp.int32(-probe_r), jnp.int32(probe_r), None)
+    min_sweep(jnp.int32(-probe_r), jnp.int32(probe_r))
 
     def calc_radius(extra, floor_r):
         """Per-tile radii into rad_ref; returns the max sweep radius over
@@ -1430,8 +1438,8 @@ def _softmin_rowsweep_kernel(w2_ref, t_ref, f_ref, out_ref, s_scr, rad_ref,
     def extend(_):
         # ungated: extra min candidates are harmless, and per-tile scalar
         # conds measured slower than the updates they skip
-        min_sweep(-rmax_ext, jnp.int32(-(probe_r + 1)), None)
-        min_sweep(jnp.int32(probe_r + 1), rmax_ext, None)
+        min_sweep(-rmax_ext, jnp.int32(-(probe_r + 1)))
+        min_sweep(jnp.int32(probe_r + 1), rmax_ext)
         return 0
 
     lax.cond(rmax_ext > probe_r, extend, lambda _: 0, 0)

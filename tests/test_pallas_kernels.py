@@ -343,6 +343,31 @@ def test_grad_gather_band_cap_variants():
     assert np.allclose(out1, ref1, atol=1e-4)
 
 
+def test_grad_gather_negative_argj_inert():
+    """Wall wins in the walled argmin's ABSOLUTE mode encode arg = ~i
+    (negative): both gather paths must treat them as inert (zero
+    contribution). The row-sweep rotating accumulator would otherwise
+    misread o = ~i - i as a short link and wrap it across the row end."""
+    rng = np.random.default_rng(5)
+    R, n = 8, 384
+    i = np.arange(n)
+    off = rng.integers(-6, 7, size=(R, n))
+    argj = np.clip(i[None, :] + off, 0, n - 1).astype(np.int32)
+    wall = rng.random((R, n)) < 0.3
+    argj = np.where(wall, ~i[None, :], argj).astype(np.int32)
+    g = rng.standard_normal((R, n)).astype(np.float32)
+    ref = np.zeros((R, n), np.float32)
+    rows = np.arange(R)[:, None].repeat(n, 1)
+    valid = argj >= 0
+    np.add.at(ref, (rows[valid], argj[valid]), g[valid])
+    for sweep in (False, True):
+        out = np.array(
+            pk.minplus_grad_pallas(jnp.asarray(g), jnp.asarray(argj),
+                                   interpret=True, row_sweep=sweep)
+        )
+        assert np.allclose(out, ref, atol=1e-5), sweep
+
+
 def test_argmin_walls_as_counts_matches_f32_walls():
     """Integer wall counts (w2*cnt^2 formed in-register, sentinel = open)
     must reproduce the f32 wall field path bit-exactly."""
