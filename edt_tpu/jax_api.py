@@ -19,6 +19,7 @@ from edt_tpu.ops.voxel_graph import edtsq_voxel_graph_jnp
 from edt_tpu.models.soft import (
     edtsq_from_heights,
     multilabel_edtsq,
+    wall_counts_for,
     soft_edtsq,
     soft_sdfsq,
     default_barrier,
@@ -78,7 +79,8 @@ __all__ = [
     "edt", "edtsq", "sdf", "sdfsq",
     "default_minplus_fn", "default_parabolic_fn",
     "edtsq_voxel_graph_jnp",
-    "edtsq_from_heights", "multilabel_edtsq", "soft_edtsq", "soft_sdfsq",
+    "edtsq_from_heights", "multilabel_edtsq", "wall_counts_for",
+    "soft_edtsq", "soft_sdfsq",
     "default_barrier",
     "default_mesh", "edtsq_sharded", "edtsq_sharded_auto", "edt_sharded",
     "sdf_sharded", "edtsq_voxel_graph_sharded",

@@ -640,9 +640,25 @@ def _multilabel_pass(f, wall_cnt_ax, w, temperature, binary_heights=False):
     return d.reshape(shape)
 
 
+def wall_counts_for(labels, black_border=False):
+    """Precompute multilabel_edtsq's label analysis for a FIXED label
+    volume: the per-axis wall-count fields (tuple, one per axis, each in
+    the volume's original layout).
+
+    The wall counts are the only thing multilabel_edtsq derives from
+    labels besides the final background mask; when labels are static
+    across training steps (optimizing occupancy against a fixed
+    segmentation), passing the result as ``wall_counts=`` skips the two
+    int16 scans per axis on every step."""
+    labels = jnp.asarray(labels)
+    return tuple(_wall_counts(labels, ax, black_border)
+                 for ax in range(labels.ndim))
+
+
 def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
                      black_border=False, barrier=None, temperature=0.0,
-                     axis_name=None, binary_occupancy=None):
+                     axis_name=None, binary_occupancy=None,
+                     wall_counts=None):
     """Differentiable multi-label squared EDT, wall-faithful to the
     reference semantics (boundary voxels at distance w, edt.hpp:99-103).
 
@@ -664,6 +680,11 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
     pass runs closed-form (same values/argmins/gradients). Defaults to
     True when occupancy is omitted (the mask is two-valued by
     construction).
+    wall_counts: optional precomputed per-axis wall-count fields from
+    ``wall_counts_for(labels, black_border)`` — must come from the SAME
+    labels and black_border (silently wrong otherwise). Skips the label
+    analysis scans when labels are fixed across calls. Single-device
+    only (the sharded rotated pass derives counts from rotated labels).
     """
     labels = jnp.asarray(labels)
     nd = labels.ndim
@@ -682,6 +703,8 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
 
     if axis_name is not None and nd != 3:
         raise ValueError("sharded multi-label soft EDT requires 3-D")
+    if wall_counts is not None and axis_name is not None:
+        raise ValueError("wall_counts precomputation is single-device only")
     # full ascending-pitch order; the rotated axis-0 pass runs at its
     # natural position so sharded == single-chip composition exactly
     order = sorted(range(nd), key=lambda a: (float(anis_np[a]), -a))
@@ -693,6 +716,8 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
             lab = lax.all_to_all(labels, axis_name, split_axis=2,
                                  concat_axis=0, tiled=True)
             cnt = _wall_counts(lab, 0, black_border)
+        elif wall_counts is not None:
+            cnt = wall_counts[ax]
         else:
             # counts in the ORIGINAL layout (scans run along any axis);
             # the pass transpose then moves int16 counts, not u32 labels

@@ -241,3 +241,22 @@ def test_walled_minplus_w2_cotangent_includes_wall_wins():
     fd = (float(total(jnp.float32(1.7 + eps)))
           - float(total(jnp.float32(1.7 - eps)))) / (2 * eps)
     np.testing.assert_allclose(g, fd, rtol=1e-3)
+
+
+def test_precomputed_wall_counts_match_recompute():
+    """wall_counts_for + wall_counts= must reproduce the in-call label
+    analysis exactly — values AND occupancy gradients."""
+    rng = np.random.default_rng(23)
+    lab = jnp.asarray(rng.integers(0, 4, size=(10, 11, 12)).astype(np.uint32))
+    occ = jnp.asarray(np.clip(rng.random((10, 11, 12)), 0.05, 1.0)
+                      .astype(np.float32))
+    kw = dict(anisotropy=(2.0, 1.0, 3.0), black_border=True, barrier=700.0)
+    cnts = soft.wall_counts_for(lab, black_border=True)
+    d_pre = soft.multilabel_edtsq(lab, occ, wall_counts=cnts, **kw)
+    d_re = soft.multilabel_edtsq(lab, occ, **kw)
+    np.testing.assert_array_equal(np.asarray(d_pre), np.asarray(d_re))
+    g_pre = jax.grad(lambda o: jnp.sum(
+        soft.multilabel_edtsq(lab, o, wall_counts=cnts, **kw)))(occ)
+    g_re = jax.grad(lambda o: jnp.sum(
+        soft.multilabel_edtsq(lab, o, **kw)))(occ)
+    np.testing.assert_array_equal(np.asarray(g_pre), np.asarray(g_re))
