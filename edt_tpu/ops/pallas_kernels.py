@@ -1017,7 +1017,7 @@ def _minplus_grad_kernel(g_ref, arg_ref, out_ref, *, n_tiles, block_rows):
 
 def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
                                   block_rows, band_cap=TILE, off_mode=False,
-                                  off_sent=None):
+                                  off_sent=None, i16_cmp=False):
     """Offset-major grad gather: whole-row rolls of g and argj shared
     across target tiles (same restructuring as the forward row sweep —
     halves roll traffic vs per-tile 3-tile windows). Links longer than
@@ -1041,13 +1041,21 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     reconstruction). off_sent (static): inert-marker offset value (wall
     wins); it can never equal a swept kk and its reconstructed absolute
     position is negative, so those voxels contribute nothing — exactly
-    the zeroed-g + zero-length-link encoding of the absolute path."""
+    the zeroed-g + zero-length-link encoding of the absolute path.
+
+    i16_cmp: keep int16 offset residuals in their native width through
+    the per-tile maxima and the sweep's compare (kk cast down per step,
+    |kk| <= band_cap fits) instead of widening the whole block to int32
+    up front — trades one (block_rows, n) conversion for 2rb+1 scalar
+    casts; exact either way (EDT_TPU_GRAD_I16_CMP sweeps it)."""
     n = n_tiles * TILE
     width = n
     lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
 
     if off_mode:
-        o_full = arg_ref[:, :].astype(I32)
+        o_full = arg_ref[:, :]
+        if not (i16_cmp and o_full.dtype == jnp.int16):
+            o_full = o_full.astype(I32)
     else:
         # residual links o[i] = argj[i] - i over the whole row (0 in
         # padding where argj carries its own position and g == 0)
@@ -1061,7 +1069,7 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         at = jnp.abs(ot)
         if off_sent is not None:
             at = jnp.where(ot == off_sent, 0, at)  # inert marker
-        mt = jnp.max(at)
+        mt = jnp.max(at).astype(I32)
         m_ref[t] = mt
         m = jnp.maximum(m, mt)
     moff = m
@@ -1082,7 +1090,10 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         # plus a single dynamic unrotation at the end.
         def body(k, acc):
             kk = k - rb
-            acc = acc + jnp.where(o_full == kk, g_full, 0.0)
+            # compare in the residual's native width (i16_cmp): |kk| <= rb
+            # <= band_cap always fits int16
+            acc = acc + jnp.where(o_full == kk.astype(o_full.dtype),
+                                  g_full, 0.0)
             return pltpu.roll(acc, width - 1, axis=1)  # s += 1
 
         acc0 = jnp.zeros((block_rows, width), F32)
@@ -1146,17 +1157,27 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
                                              "row_sweep", "band_cap",
-                                             "off_sent"))
+                                             "off_sent", "i16_cmp"))
 def minplus_grad_pallas(g, argj=None, interpret=False,
                         block_rows=MP_BLOCK_ROWS, row_sweep=True,
-                        band_cap=TILE, offsets=None, off_sent=None):
+                        band_cap=TILE, offsets=None, off_sent=None,
+                        i16_cmp=None):
     """VJP routing for minplus_argmin_pallas: (R, n) g, argj -> df (R, n).
 
     Pass EITHER argj (absolute int32 winner indices) OR offsets (residual
     o = argj - i, int16/int32, straight from the VJP residual — half the
     stream, no absolute reconstruction). off_sent (static int): offset
     value marking inert voxels (wall wins) — they contribute nothing.
+
+    i16_cmp: compare int16 residuals at native width in the sweep instead
+    of widening the block to int32 first (exact either way — a hardware
+    tuning knob). None -> EDT_TPU_GRAD_I16_CMP env (default off; read at
+    trace time).
     """
+    if i16_cmp is None:
+        import os
+
+        i16_cmp = os.environ.get("EDT_TPU_GRAD_I16_CMP", "0") == "1"
     R, n = g.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
@@ -1200,7 +1221,8 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
     if row_sweep:
         kernel = functools.partial(_minplus_grad_rowsweep_kernel,
                                    band_cap=band_cap, off_mode=off_mode,
-                                   off_sent=off_sent if off_mode else None)
+                                   off_sent=off_sent if off_mode else None,
+                                   i16_cmp=bool(i16_cmp))
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
     else:
         kernel = _minplus_grad_kernel

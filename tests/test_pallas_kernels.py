@@ -423,16 +423,19 @@ def test_grad_gather_offsets_mode_matches_absolute():
     np.add.at(ref, (rows.repeat(n, 1), links), gm)
 
     for cap in (16, 128):
-        out = np.array(pk.minplus_grad_pallas(
-            jnp.asarray(g), offsets=jnp.asarray(o_s), off_sent=int(sent),
-            interpret=True, band_cap=cap))
-        assert np.allclose(out, ref, atol=1e-5), cap
-    # no-sentinel variant vs absolute argj
+        for i16_cmp in (False, True):
+            out = np.array(pk.minplus_grad_pallas(
+                jnp.asarray(g), offsets=jnp.asarray(o_s), off_sent=int(sent),
+                interpret=True, band_cap=cap, i16_cmp=i16_cmp))
+            assert np.allclose(out, ref, atol=1e-5), (cap, i16_cmp)
+    # no-sentinel variant vs absolute argj (both compare widths)
     ref2 = np.zeros((R, n), np.float32)
     np.add.at(ref2, (rows.repeat(n, 1), argj), g)
-    out2 = np.array(pk.minplus_grad_pallas(
-        jnp.asarray(g), offsets=jnp.asarray(o), interpret=True))
-    assert np.allclose(out2, ref2, atol=1e-5)
+    for i16_cmp in (False, True):
+        out2 = np.array(pk.minplus_grad_pallas(
+            jnp.asarray(g), offsets=jnp.asarray(o), interpret=True,
+            i16_cmp=i16_cmp))
+        assert np.allclose(out2, ref2, atol=1e-5), i16_cmp
     # long-row fallback (n_tiles > 16 -> per-tile kernel via reconstruction)
     n2 = 17 * 128
     o_l = rng.integers(-5, 6, size=(4, n2)).astype(np.int16)
