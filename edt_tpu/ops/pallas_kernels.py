@@ -661,7 +661,8 @@ def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
 def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
                                     n_tiles, block_rows, arg_band_r=64,
                                     probe_r=16, walled=False,
-                                    wall_sent=None, off_dtype=None):
+                                    wall_sent=None, off_dtype=None,
+                                    dyn_probe=False):
     """Offset-major argmin variant: whole-row rolls shared across tiles.
 
     Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
@@ -678,6 +679,17 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
     scan — and (b) is min'd into the output in-kernel, with wall wins
     (strictly below every candidate) encoded as arg = ~i so the VJP can
     route their cotangents to the constant instead of a candidate.
+
+    dyn_probe=True: the probe radius itself becomes dynamic —
+    min(probe_r, radius from the RAW per-tile bounds max min(f, wall)),
+    computed before any sweep. The k = 0 candidate already bounds d by
+    f[i] (and the wall bounds it too), so the raw radius is a valid
+    winning-offset bound; whenever it undershoots probe_r (later passes
+    of a composed transform, whose heights are real finite distances —
+    e.g. the z pass at 30x pitch needs ~±4) the probe shrinks to match
+    instead of paying the fixed ±probe_r floor. Barrier-height fields
+    keep an infinite raw radius and probe the full ±probe_r exactly as
+    before. Exact for every input either way.
     """
     if walled:
         walls_ref, out_ref, arg_out_ref, rad_ref = rest[:4]
@@ -720,14 +732,33 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
             arg_ref[:, sl] = jnp.where(
                 better, lanes + (it * TILE) + kk_i32, arg_ref[:, sl])
 
+    # ---- probe radius ----
+    if dyn_probe:
+        # raw bound: d[i] <= min(f[i], wall[i]) (k = 0 candidate / wall
+        # clamp), so max over the tile of that min bounds every winning
+        # offset before any sweep runs
+        def raw_body(it, mx):
+            t = f_ref[:, pl.ds(HALO + it * TILE, TILE)]
+            if walled:
+                t = jnp.minimum(t, _wall_tile(walls_ref,
+                                              pl.ds(it * TILE, TILE),
+                                              w2, wall_sent))
+            bound = jnp.max(t, axis=1, keepdims=True)
+            r0 = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
+            return jnp.maximum(mx, jnp.minimum(r0, jnp.int32(probe_r)))
+
+        rp = lax.fori_loop(0, n_tiles, raw_body, jnp.int32(0))
+    else:
+        rp = jnp.int32(probe_r)
+
     # ---- probe sweep ----
-    wk = pltpu.roll(w0, probe_r + (width - HALO), axis=1)
+    wk = pltpu.roll(w0, rp + (width - HALO), axis=1)
 
     def probe_body(k, wk):
-        upd_tiles(wk, k - probe_r, cmp_le=False)
+        upd_tiles(wk, k - rp, cmp_le=False)
         return pltpu.roll(wk, width - 1, axis=1)
 
-    lax.fori_loop(0, 2 * probe_r + 1, probe_body, wk)
+    lax.fori_loop(0, 2 * rp + 1, probe_body, wk)
 
     def calc_radius(store):
         def body(it, ext_max):
@@ -744,7 +775,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
                 rad_ref[it] = radius
             return jnp.maximum(
                 ext_max,
-                jnp.where(radius > probe_r,
+                jnp.where(radius > rp,
                           jnp.minimum(radius, jnp.int32(arg_band_r)),
                           0),
             )
@@ -758,26 +789,26 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         # ungated across tiles: candidates beyond a probe-complete tile's
         # radius can never win or tie, and per-(offset, tile) scalar conds
         # measured slower than just doing the (rows, 128) update
-        # left chunk: kk descending from -(probe_r+1) to -rmax_ext, <=
-        wl = pltpu.roll(w0, (probe_r + 1) + (width - HALO), axis=1)
+        # left chunk: kk descending from -(rp+1) to -rmax_ext, <=
+        wl = pltpu.roll(w0, (rp + 1) + (width - HALO), axis=1)
 
         def left_body(k, wl):
-            upd_tiles(wl, -(probe_r + 1) - k, cmp_le=True)
+            upd_tiles(wl, -(rp + 1) - k, cmp_le=True)
             return pltpu.roll(wl, 1, axis=1)
 
-        lax.fori_loop(0, rmax_ext - probe_r, left_body, wl)
+        lax.fori_loop(0, rmax_ext - rp, left_body, wl)
 
-        # right chunk: kk ascending from probe_r+1 to rmax_ext, strict <
-        wr = pltpu.roll(w0, (width - HALO) - (probe_r + 1), axis=1)
+        # right chunk: kk ascending from rp+1 to rmax_ext, strict <
+        wr = pltpu.roll(w0, (width - HALO) - (rp + 1), axis=1)
 
         def right_body(k, wr):
-            upd_tiles(wr, (probe_r + 1) + k, cmp_le=False)
+            upd_tiles(wr, (rp + 1) + k, cmp_le=False)
             return pltpu.roll(wr, width - 1, axis=1)
 
-        lax.fori_loop(0, rmax_ext - probe_r, right_body, wr)
+        lax.fori_loop(0, rmax_ext - rp, right_body, wr)
         return 0
 
-    lax.cond(rmax_ext > probe_r, extend, lambda _: 0, 0)
+    lax.cond(rmax_ext > rp, extend, lambda _: 0, 0)
 
     # radii recompute from refined minima (barrier-inflated estimates drop)
     calc_radius(store=True)
@@ -787,7 +818,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
         i0 = it * TILE
         radius = rad_ref[it]
         swept = jnp.maximum(jnp.minimum(jnp.int32(arg_band_r), rmax_ext),
-                            jnp.int32(probe_r))
+                            rp)
 
         def tiled(_):
             cur = out_ref[:, pl.ds(i0, TILE)]
@@ -858,11 +889,12 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
-                              "row_sweep", "emit_offsets")
+                              "row_sweep", "emit_offsets", "dyn_probe")
 )
 def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
                           block_rows=MP_BLOCK_ROWS, arg_band_r=48,
-                          row_sweep=True, emit_offsets=False):
+                          row_sweep=True, emit_offsets=False,
+                          dyn_probe=None):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index.
 
     emit_offsets=True: the second output is the residual OFFSET o =
@@ -879,6 +911,11 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     (strictly below every candidate) return arg = ~i (negative); they also
     cap the internal radius estimates, which is what keeps barrier-height
     fields with sparse sources off the full tile-pair scan.
+
+    dyn_probe: shrink the probe sweep to the radius implied by the raw
+    min(f, wall) bounds when that undershoots the fixed ±16 floor (exact
+    either way — see the rowsweep kernel). None -> EDT_TPU_DYN_PROBE env
+    (default off; read at trace time).
     """
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
@@ -918,11 +955,16 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     if emit_offsets:
         off_dtype = jnp.int16 if n <= 16000 else jnp.int32
         arg_out_dtype = off_dtype
+    if dyn_probe is None:
+        import os
+
+        dyn_probe = os.environ.get("EDT_TPU_DYN_PROBE", "0") == "1"
     if row_sweep:
         kernel = functools.partial(
             _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
             block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
-            wall_sent=wall_sent, off_dtype=off_dtype)
+            wall_sent=wall_sent, off_dtype=off_dtype,
+            dyn_probe=bool(dyn_probe))
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
         if emit_offsets:
             scratch.append(pltpu.VMEM((block_rows, np_), I32))

@@ -171,12 +171,16 @@ def test_argmin_kernel_matches_jnp():
         i = jnp.arange(300, dtype=jnp.float32)
         cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
         for sweep in (False, True):
-            d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True,
-                                            row_sweep=sweep)
-            assert np.array_equal(np.array(d), np.array(jnp.min(cost, -1))), (
-                seed, sweep)
-            assert np.array_equal(np.array(a), np.array(jnp.argmin(cost, -1))
-                                  ), (seed, sweep)
+            for dyn in (False, True):
+                d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True,
+                                                row_sweep=sweep,
+                                                dyn_probe=dyn)
+                assert np.array_equal(np.array(d),
+                                      np.array(jnp.min(cost, -1))), (
+                    seed, sweep, dyn)
+                assert np.array_equal(np.array(a),
+                                      np.array(jnp.argmin(cost, -1))), (
+                    seed, sweep, dyn)
 
 
 def test_argmin_kernel_walled_matches_oracle():
@@ -215,10 +219,13 @@ def test_argmin_kernel_walled_matches_oracle():
         ref_d = np.where(win, dmp, walls)
         ref_a = np.where(win, amp, ~np.arange(n)[None, :])
         for sweep in (False, True):
-            d, a = pk.minplus_argmin_pallas(fj, w2, walls=wj,
-                                            interpret=True, row_sweep=sweep)
-            assert np.array_equal(np.array(d), ref_d), (seed, sweep)
-            assert np.array_equal(np.array(a), ref_a), (seed, sweep)
+            for dyn in (False, True):
+                d, a = pk.minplus_argmin_pallas(fj, w2, walls=wj,
+                                                interpret=True,
+                                                row_sweep=sweep,
+                                                dyn_probe=dyn)
+                assert np.array_equal(np.array(d), ref_d), (seed, sweep, dyn)
+                assert np.array_equal(np.array(a), ref_a), (seed, sweep, dyn)
 
 
 def _soft_cases():
