@@ -662,7 +662,7 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
                                     n_tiles, block_rows, arg_band_r=64,
                                     probe_r=16, walled=False,
                                     wall_sent=None, off_dtype=None,
-                                    dyn_probe=False):
+                                    dyn_probe=False, off_track=False):
     """Offset-major argmin variant: whole-row rolls shared across tiles.
 
     Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
@@ -721,7 +721,10 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
     def upd_tiles(wk, kk_i32, cmp_le):
         """One offset step: min-update every tile from wk (ungated across
         tiles — per-(offset, tile) scalar conds measured slower than just
-        doing the (rows, TILE) update)."""
+        doing the (rows, TILE) update). off_track: the sweeps record the
+        winning OFFSET kk (a broadcast scalar select) instead of the
+        absolute index — drops the lanes + i0 + kk vector add from every
+        (offset, tile) step; the epilogue reconstructs absolutes once."""
         q = w2 * (kk_i32.astype(F32) ** 2)
         for it in range(n_tiles):
             sl = pl.ds(it * TILE, TILE)
@@ -729,8 +732,9 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
             best = out_ref[:, sl]
             better = (cand <= best) if cmp_le else (cand < best)
             out_ref[:, sl] = jnp.where(better, cand, best)
-            arg_ref[:, sl] = jnp.where(
-                better, lanes + (it * TILE) + kk_i32, arg_ref[:, sl])
+            win = (kk_i32 if off_track
+                   else lanes + (it * TILE) + kk_i32)
+            arg_ref[:, sl] = jnp.where(better, win, arg_ref[:, sl])
 
     # ---- probe radius ----
     if dyn_probe:
@@ -859,12 +863,17 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
             best, arg = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
                                       (best0, arg0))
             out_ref[:, pl.ds(i0, TILE)] = best
+            if off_track:
+                arg = arg - (lanes + i0)  # sweeps store offsets
             arg_ref[:, pl.ds(i0, TILE)] = arg
             return 0
 
         lax.cond(radius > swept, tiled, lambda _: 0, 0)
         # clamp: padded-halo winners only occur for all-INF rows
-        arg = jnp.clip(arg_ref[:, pl.ds(i0, TILE)], 0, n - 1)
+        arg = arg_ref[:, pl.ds(i0, TILE)]
+        if off_track:
+            arg = arg + (lanes + i0)
+        arg = jnp.clip(arg, 0, n - 1)
         ww = None
         if walled:
             wl = _wall_tile(walls_ref, pl.ds(i0, TILE), w2, wall_sent)
@@ -889,12 +898,13 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
-                              "row_sweep", "emit_offsets", "dyn_probe")
+                              "row_sweep", "emit_offsets", "dyn_probe",
+                              "off_track")
 )
 def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
                           block_rows=MP_BLOCK_ROWS, arg_band_r=48,
                           row_sweep=True, emit_offsets=False,
-                          dyn_probe=None):
+                          dyn_probe=None, off_track=None):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index.
 
     emit_offsets=True: the second output is the residual OFFSET o =
@@ -916,6 +926,11 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     min(f, wall) bounds when that undershoots the fixed ±16 floor (exact
     either way — see the rowsweep kernel). None -> EDT_TPU_DYN_PROBE env
     (default off; read at trace time).
+
+    off_track: sweeps track the winning offset (broadcast scalar select)
+    instead of the absolute index, reconstructed once in the epilogue —
+    drops one vector add per (offset, tile) step. Exact either way.
+    None -> EDT_TPU_ARG_OFF_TRACK env (default off; read at trace time).
     """
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
@@ -955,16 +970,18 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     if emit_offsets:
         off_dtype = jnp.int16 if n <= 16000 else jnp.int32
         arg_out_dtype = off_dtype
-    if dyn_probe is None:
-        import os
+    import os
 
+    if dyn_probe is None:
         dyn_probe = os.environ.get("EDT_TPU_DYN_PROBE", "0") == "1"
+    if off_track is None:
+        off_track = os.environ.get("EDT_TPU_ARG_OFF_TRACK", "0") == "1"
     if row_sweep:
         kernel = functools.partial(
             _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
             block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
             wall_sent=wall_sent, off_dtype=off_dtype,
-            dyn_probe=bool(dyn_probe))
+            dyn_probe=bool(dyn_probe), off_track=bool(off_track))
         scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
         if emit_offsets:
             scratch.append(pltpu.VMEM((block_rows, np_), I32))

@@ -171,16 +171,18 @@ def test_argmin_kernel_matches_jnp():
         i = jnp.arange(300, dtype=jnp.float32)
         cost = fj[:, None, :] + w2 * (i[:, None] - i[None, :]) ** 2
         for sweep in (False, True):
-            for dyn in (False, True):
+            for dyn, otr in ((False, False), (True, False), (False, True),
+                             (True, True)):
                 d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True,
                                                 row_sweep=sweep,
-                                                dyn_probe=dyn)
+                                                dyn_probe=dyn,
+                                                off_track=otr)
                 assert np.array_equal(np.array(d),
                                       np.array(jnp.min(cost, -1))), (
-                    seed, sweep, dyn)
+                    seed, sweep, dyn, otr)
                 assert np.array_equal(np.array(a),
                                       np.array(jnp.argmin(cost, -1))), (
-                    seed, sweep, dyn)
+                    seed, sweep, dyn, otr)
 
 
 def test_argmin_kernel_walled_matches_oracle():
@@ -219,13 +221,16 @@ def test_argmin_kernel_walled_matches_oracle():
         ref_d = np.where(win, dmp, walls)
         ref_a = np.where(win, amp, ~np.arange(n)[None, :])
         for sweep in (False, True):
-            for dyn in (False, True):
+            for dyn, otr in ((False, False), (True, False), (True, True)):
                 d, a = pk.minplus_argmin_pallas(fj, w2, walls=wj,
                                                 interpret=True,
                                                 row_sweep=sweep,
-                                                dyn_probe=dyn)
-                assert np.array_equal(np.array(d), ref_d), (seed, sweep, dyn)
-                assert np.array_equal(np.array(a), ref_a), (seed, sweep, dyn)
+                                                dyn_probe=dyn,
+                                                off_track=otr)
+                assert np.array_equal(np.array(d), ref_d), (
+                    seed, sweep, dyn, otr)
+                assert np.array_equal(np.array(a), ref_a), (
+                    seed, sweep, dyn, otr)
 
 
 def _soft_cases():
@@ -477,11 +482,13 @@ def test_argmin_emit_offsets_matches_absolute():
             d_a, a_a = pk.minplus_argmin_pallas(
                 jnp.asarray(f), w2, walls=walls, interpret=True,
                 row_sweep=sweep)
-            d_o, o = pk.minplus_argmin_pallas(
-                jnp.asarray(f), w2, walls=walls, interpret=True,
-                row_sweep=sweep, emit_offsets=True)
-            assert o.dtype == jnp.int16
-            assert np.array_equal(np.array(d_a), np.array(d_o))
-            a_a = np.array(a_a)
-            exp = np.where(a_a >= 0, a_a - i, sent).astype(np.int16)
-            assert np.array_equal(np.array(o), exp), (walls is None, sweep)
+            for otr in (False, True):
+                d_o, o = pk.minplus_argmin_pallas(
+                    jnp.asarray(f), w2, walls=walls, interpret=True,
+                    row_sweep=sweep, emit_offsets=True, off_track=otr)
+                assert o.dtype == jnp.int16
+                assert np.array_equal(np.array(d_a), np.array(d_o))
+                a_a2 = np.array(a_a)
+                exp = np.where(a_a2 >= 0, a_a2 - i, sent).astype(np.int16)
+                assert np.array_equal(np.array(o), exp), (
+                    walls is None, sweep, otr)
