@@ -408,6 +408,15 @@ def test_argmin_walls_as_counts_matches_f32_walls():
                                             interpret=True, row_sweep=sweep)
         assert np.array_equal(np.array(d_f), np.array(d_c)), sweep
         assert np.array_equal(np.array(a_f), np.array(a_c)), sweep
+        # dynamic probe + offset tracking must not disturb the int16
+        # sentinel-count wall path (the raw-bound pre-pass reads the same
+        # _wall_tile decode)
+        d_k, a_k = pk.minplus_argmin_pallas(jnp.asarray(f), w2,
+                                            walls=jnp.asarray(cnt),
+                                            interpret=True, row_sweep=sweep,
+                                            dyn_probe=True, off_track=True)
+        assert np.array_equal(np.array(d_f), np.array(d_k)), sweep
+        assert np.array_equal(np.array(a_f), np.array(a_k)), sweep
 
 
 def test_grad_gather_offsets_mode_matches_absolute():
