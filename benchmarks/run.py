@@ -219,9 +219,22 @@ def main():
             count_dev += 1
         last.block_until_ready()
         t_dev = time.perf_counter() - t0
+        # batched device extraction: ONE vmapped dispatch for all labels
+        # (memory = N full volumes — chunk to fit; 32 here)
+        chunk = 32
+        edtj.extract_labels(lab_d, dt_d, ids[:chunk]).block_until_ready()
+        t0 = time.perf_counter()
+        count_batched = 0
+        for c0 in range(0, len(ids) - (len(ids) % chunk), chunk):
+            stack = edtj.extract_labels(lab_d, dt_d, ids[c0:c0 + chunk])
+            count_batched += stack.shape[0]
+        stack.block_until_ready()
+        t_batched = time.perf_counter() - t0
         results["each_extraction"] = {
             "edt_s": t_edt, "extract_s": t_each, "labels": count,
             "device_masked_extract_s": t_dev, "labels_device": count_dev,
+            "device_batched_extract_s": t_batched,
+            "labels_batched": count_batched,
             "ref_s_snemi3d": 90.0}
 
     # ---- voxel graph ----

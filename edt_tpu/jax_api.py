@@ -50,9 +50,30 @@ def extract_label(labels, dt, label):
 
     The reference's own masking fallback (/root/reference/README.md:347-348)
     — as a single fused device op. Composable with jit/vmap; use
-    jax.vmap(extract_label, in_axes=(None, None, 0)) to batch labels.
+    extract_labels(labels, dt, ids) to batch many labels into ONE dispatch.
     """
     return _jnp.where(labels == label, dt, _jnp.asarray(0, dt.dtype))
+
+
+@_jax.jit
+def _extract_labels_jit(labels, dt, ids):
+    return _jax.vmap(extract_label, in_axes=(None, None, 0))(labels, dt, ids)
+
+
+def extract_labels(labels, dt, ids):
+    """Batched extract_label: ONE jitted dispatch for all of ``ids``.
+
+    Returns a (len(ids), *labels.shape) stack where slab k is
+    dt * (labels == ids[k]) — the vmapped form of extract_label, so an
+    SNEMI3D-style 300-label extraction costs one kernel launch instead of
+    one dispatch per label (each_device). Batches that exceed device
+    memory should be chunked by the caller (the stack is N full volumes).
+    Reference semantics: /root/reference/README.md:347-348's masking
+    fallback, batched.
+    """
+    labels = _jnp.asarray(labels)
+    ids = _jnp.asarray(ids, labels.dtype)
+    return _extract_labels_jit(labels, _jnp.asarray(dt), ids)
 
 
 def each_device(labels, dt, ids=None):
@@ -84,5 +105,5 @@ __all__ = [
     "default_barrier",
     "default_mesh", "edtsq_sharded", "edtsq_sharded_auto", "edt_sharded",
     "sdf_sharded", "edtsq_voxel_graph_sharded",
-    "extract_label", "each_device",
+    "extract_label", "extract_labels", "each_device",
 ]

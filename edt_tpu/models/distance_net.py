@@ -157,6 +157,8 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
             "sharded training requires an explicit barrier (the default "
             "would be derived from the local slab shape)"
         )
+    n_dp, n_sp = mesh.shape[dp_axis], mesh.shape[sp_axis]
+    n = n_dp * n_sp
 
     def local_loss(params, feats, target_dt):
         # per-shard sum of squared errors; normalized by the global count
@@ -167,8 +169,8 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
         )
         d = jax.vmap(fn)(occ)
         se = jnp.sum((d - target_dt) ** 2)
-        cnt = lax.psum(jnp.asarray(d.size, F32), (dp_axis, sp_axis))
-        return se / cnt
+        # global element count is static (shards partition the batch/space)
+        return se / jnp.asarray(d.size * n, F32)
 
     if not grad_reduce_scatter:
         @functools.partial(
@@ -176,7 +178,7 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
             mesh=mesh,
             in_specs=(P(), P(), P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
             out_specs=(P(), P(), P()),
-            check_vma=False,
+            check_vma=True,
         )
         def sharded_step(params, opt_state, feats, target_dt):
             loss, grads = jax.value_and_grad(local_loss)(
@@ -191,8 +193,6 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
 
     if params_template is None:
         raise ValueError("grad_reduce_scatter=True requires params_template")
-    n_dp, n_sp = mesh.shape[dp_axis], mesh.shape[sp_axis]
-    n = n_dp * n_sp
     flat_struct = jax.eval_shape(
         lambda ps: jax.tree.map(lambda p: _pad_flat(p, n), ps),
         params_template,
@@ -212,8 +212,17 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
         return lax.psum_scatter(x, dp_axis, scatter_dimension=0, tiled=True)
 
     def _gather(shard_leaf, template):
-        full = lax.all_gather(shard_leaf, dp_axis, axis=0, tiled=True)
-        full = lax.all_gather(full, sp_axis, axis=0, tiled=True)
+        # all_gather output is vma-VARYING (its transpose is a slice, not a
+        # psum), so replicated P() params couldn't leave the shard_map.
+        # Scatter each shard into its slot of a zeros buffer and psum: the
+        # slots are disjoint so the sum IS the concatenation, and psum's
+        # output is invariant. Moves n x the all_gather bytes — negligible
+        # for the MLP head this step trains.
+        size = shard_leaf.size
+        idx = lax.axis_index(sp_axis) * n_dp + lax.axis_index(dp_axis)
+        buf = jnp.zeros((size * n,), shard_leaf.dtype)
+        buf = lax.dynamic_update_slice(buf, shard_leaf, (idx * size,))
+        full = lax.psum(buf, (dp_axis, sp_axis))
         return full[: template.size].reshape(template.shape)
 
     def _own_slice(p):
@@ -227,7 +236,7 @@ def make_sharded_train_step(mesh: Mesh, optimizer, anisotropy=(1.0, 1.0, 1.0),
         mesh=mesh,
         in_specs=(P(), opt_specs, P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
         out_specs=(P(), opt_specs, P()),
-        check_vma=False,
+        check_vma=True,
     )
     def scatter_step(params, opt_state, feats, target_dt):
         loss, grads = jax.value_and_grad(local_loss)(params, feats, target_dt)

@@ -71,6 +71,35 @@ def _argmin_kwargs():
     return kw
 
 
+def _match_vma(x, ref):
+    """Cast x to vary over every shard_map mesh axis ref varies over.
+
+    Under shard_map's vma (varying-manual-axes) type system, a custom VJP's
+    bwd must return cotangents whose vma matches the primal inputs exactly.
+    Our min-plus VJPs compute dw2 = sum(g * ...) — varying over whatever
+    axes the data f (hence g) varies over — so a replicated w2 input would
+    make the bwd type-incorrect. Casting w2 to f's vma BEFORE the
+    custom_vjp call fixes the types, and is also the mathematically
+    correct factoring: the cast (pvary) transposes to psum, so a caller
+    differentiating w.r.t. an un-varied w2 outside the shard_map still
+    receives the correct cross-shard-summed cotangent. Outside shard_map
+    (vma empty) this is a no-op."""
+    need = _vma_of(ref) - _vma_of(x)
+    if not need:
+        return x
+    axes = tuple(sorted(need))
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, axes, to="varying")
+    return lax.pvary(x, axes)
+
+
+def _vma_of(x):
+    try:
+        return frozenset(getattr(jax.typeof(x), "vma", frozenset()))
+    except Exception:
+        return frozenset()
+
+
 def _chunk_rows(f, row_chunk):
     R, n = f.shape
     pad = (-R) % row_chunk
@@ -154,8 +183,61 @@ def _link_dtype(n):
     return jnp.int16 if n <= 16000 else jnp.int32
 
 
-@functools.lru_cache(maxsize=2)
-def _make_minplus_hard(binary_heights):
+def _binary_scan_grad():
+    """Whether the binary-heights passes use the O(n) scan backward
+    (default) instead of the offset-sweep gather kernel. Resolved pre-jit
+    (feeds the lru_cache key of the custom-VJP makers) so toggling the
+    env var mid-process takes effect."""
+    import os
+
+    return os.environ.get("EDT_TPU_BINARY_GRAD_SCAN", "1") == "1"
+
+
+def _binary_grad_from_links(gm, o0, z):
+    """df for the closed-form binary pass from its link residuals, in
+    O(n) scans instead of the gather kernel's O(n * max_link) offset
+    sweep.
+
+    gm: (R, n) cotangents with inert (wall-won) voxels zeroed; o0: signed
+    link offsets with 0 for self wins / zero sites / inert voxels; z:
+    zero-site mask. Every winner of a binary row links to the NEAREST
+    zero on its side, so the left-linked sources of a zero site are
+    exactly the left-winners in the open interval up to the next zero
+    (and mirrored for right links) — contiguous runs. Two segmented
+    scans (reset at zero sites) therefore produce every zero site's
+    gathered cotangent:
+
+        df[j] = gm[j] * [o0[j] == 0]                      (self)
+              + suffix_seg_sum(gm * [o0 < 0])[j + 1]      (left links)
+              + prefix_seg_sum(gm * [o0 > 0])[j - 1]      (right links)
+
+    Values match the gather kernels up to fp summation order (the scan
+    reassociates the same contribution set); the blocky-headline regime
+    this targets has per-block link maxima ~32-64 (PARITY.md), i.e. the
+    sweep does ~65-129 whole-row roll+select steps that these ~2 log n
+    scan steps replace."""
+    hR = jnp.where(o0 > 0, gm, jnp.asarray(0.0, F32))
+    hL = jnp.where(o0 < 0, gm, jnp.asarray(0.0, F32))
+
+    def seg(h, zf):
+        # classic segmented-sum scan: value resets AT flagged positions
+        def op(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, va + vb)
+
+        return lax.associative_scan(op, (zf, h), axis=1)[1]
+
+    fs = seg(hR, z)
+    rs = jnp.flip(seg(jnp.flip(hL, 1), jnp.flip(z, 1)), 1)
+    fs_prev = jnp.pad(fs[:, :-1], ((0, 0), (1, 0)))
+    rs_next = jnp.pad(rs[:, 1:], ((0, 0), (0, 1)))
+    df_z = jnp.where(z, fs_prev + rs_next, jnp.asarray(0.0, F32))
+    return jnp.where(o0 == 0, gm, jnp.asarray(0.0, F32)) + df_z
+
+
+@functools.lru_cache(maxsize=4)
+def _make_minplus_hard(binary_heights, scan_grad=False):
     @jax.custom_vjp
     def mhard(f, w2):
         d, _ = fwd_impl(f, w2)
@@ -180,10 +262,21 @@ def _make_minplus_hard(binary_heights):
         # store residual offsets o = argj - i (narrow dtype); the bwd
         # consumes them directly (offsets-mode gather)
         o = (argj - jnp.arange(n, dtype=jnp.int32)[None, :]).astype(idt)
+        if binary_heights and scan_grad:
+            # zero sites marked with the dtype max (real links |o| < n
+            # can't reach it): the scan backward segments on them
+            o = jnp.where(f <= 0.0, jnp.asarray(jnp.iinfo(idt).max, idt), o)
         return d, (o, w2, n)
 
     def bwd(res, g):
         o, w2, n = res
+        if binary_heights and scan_grad:
+            omax = jnp.iinfo(o.dtype).max
+            z = o == omax
+            o0 = jnp.where(z, jnp.zeros((), o.dtype), o)
+            df = _binary_grad_from_links(g, o0, z)
+            dw2 = jnp.sum(g * o0.astype(F32) ** 2)
+            return df, dw2
         # d[r, i] = f[r, i + o[r, i]] + w2 * o^2
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
@@ -206,7 +299,8 @@ def _make_minplus_hard(binary_heights):
 
 
 def _minplus_hard(f, w2, binary_heights=False):
-    return _make_minplus_hard(bool(binary_heights))(f, w2)
+    scan = _binary_scan_grad() if binary_heights else False
+    return _make_minplus_hard(bool(binary_heights), scan)(f, _match_vma(w2, f))
 
 
 # ---------------- softmin ----------------
@@ -311,7 +405,7 @@ def _make_minplus_soft(t):
 
 def _minplus_soft(f, w2, temperature):
     """Softmin-plus: -t * logsumexp(-(f_j + w2 (i-j)^2) / t) along axis -1."""
-    return _make_minplus_soft(float(temperature))(f, w2)
+    return _make_minplus_soft(float(temperature))(f, _match_vma(w2, f))
 
 
 # ---------------- passes and composition ----------------
@@ -465,12 +559,11 @@ def soft_edtsq(occupancy, anisotropy, black_border=False, barrier=None,
 # so only same-label heights and the structural walls survive the min.
 
 
-# wall-count sentinel values ("open side" -> INF); MUST match
-# edt_tpu.ops.pallas_kernels.WALL_SENT16/32 (asserted in tests) — the
-# walled argmin kernel consumes the counts directly and forms w2*cnt^2
-# in-register, halving the wall stream's HBM traffic vs f32 fields.
-WALL_SENT16 = 30000
-WALL_SENT32 = 1 << 30
+# wall-count sentinel values ("open side" -> INF), single-sourced from the
+# leaf module shared with ops.pallas_kernels — the walled argmin kernel
+# consumes the counts directly and forms w2*cnt^2 in-register, halving the
+# wall stream's HBM traffic vs f32 fields.
+from edt_tpu.ops.wall_sentinels import WALL_SENT16, WALL_SENT32  # noqa: E402
 
 
 def _wall_counts(labels, axis, black_border):
@@ -517,8 +610,8 @@ def _walls_from_counts(cnt, w2):
     return jnp.where(cnt >= sent, INF, w2 * c * c)
 
 
-@functools.lru_cache(maxsize=2)
-def _make_minplus_hard_walled(binary_heights):
+@functools.lru_cache(maxsize=4)
+def _make_minplus_hard_walled(binary_heights, scan_grad=False):
     """Hard min-plus fused with the wall clamp: out = where(d <= walls, d,
     walls), ties to the candidate.
 
@@ -574,6 +667,10 @@ def _make_minplus_hard_walled(binary_heights):
         # residual offsets, narrow dtype; |o| < n < |sent| so the marker
         # can never collide with a real link
         o = jnp.where(argj >= 0, (argj - idx).astype(idt), sent)
+        if binary_heights and scan_grad:
+            # zero sites (always candidate wins: d = 0 < any wall) marked
+            # with the dtype max for the scan backward's segmentation
+            o = jnp.where(f <= 0.0, jnp.asarray(jnp.iinfo(idt).max, idt), o)
         return out, (o, w2, n, cnt)
 
     def bwd(res, g):
@@ -581,6 +678,16 @@ def _make_minplus_hard_walled(binary_heights):
         sent = int(jnp.iinfo(o.dtype).min)
         win = o != sent
         gm = jnp.where(win, g, jnp.asarray(0.0, F32))
+        if binary_heights and scan_grad:
+            z = o == jnp.iinfo(o.dtype).max
+            o0 = jnp.where(win & ~z, o, jnp.zeros((), o.dtype))
+            df = _binary_grad_from_links(gm, o0, z)
+            dw2 = jnp.sum(gm * o0.astype(F32) ** 2)
+            c = cnt.astype(F32)
+            dw2 = dw2 + jnp.sum(
+                jnp.where(win, jnp.asarray(0.0, F32), g * c * c))
+            dcnt = np.zeros(cnt.shape, jax.dtypes.float0)
+            return df, dw2, dcnt
         om = jnp.where(win, o, jnp.zeros((), o.dtype))
         if _use_pallas():
             from edt_tpu.ops import pallas_kernels
@@ -635,12 +742,13 @@ def _multilabel_pass(f, wall_cnt_ax, w, temperature, binary_heights=False):
         return -t * jnp.logaddexp(-d / t, -walls / t)
     # ties go to the min-plus candidate (d <= walls), so a zero-height
     # source at the wall site keeps its gradient
-    d = _make_minplus_hard_walled(bool(binary_heights))(
-        f2, w2, wall_cnt_ax.reshape(-1, n))
+    scan = _binary_scan_grad() if binary_heights else False
+    d = _make_minplus_hard_walled(bool(binary_heights), scan)(
+        f2, _match_vma(w2, f2), _match_vma(wall_cnt_ax.reshape(-1, n), f2))
     return d.reshape(shape)
 
 
-def wall_counts_for(labels, black_border=False):
+def wall_counts_for(labels, black_border=False, axis_name=None):
     """Precompute multilabel_edtsq's label analysis for a FIXED label
     volume: the per-axis wall-count fields (tuple, one per axis, each in
     the volume's original layout).
@@ -649,10 +757,29 @@ def wall_counts_for(labels, black_border=False):
     labels besides the final background mask; when labels are static
     across training steps (optimizing occupancy against a fixed
     segmentation), passing the result as ``wall_counts=`` skips the two
-    int16 scans per axis on every step."""
+    int16 scans per axis on every step.
+
+    axis_name: set when labels is the local slab of a volume sharded
+    along axis 0 inside a shard_map (matching multilabel_edtsq's
+    axis_name). The axis-0 scan then runs in the rotated layout (a local
+    slab never sees the full axis 0, so a local scan would plant phantom
+    walls at shard boundaries) and is rotated back, so every returned
+    field is in the original sharded layout. multilabel_edtsq re-rotates
+    the axis-0 field per call — an int16 all_to_all, half the bytes of
+    the label rotation it replaces, on top of skipping the scans."""
     labels = jnp.asarray(labels)
-    return tuple(_wall_counts(labels, ax, black_border)
-                 for ax in range(labels.ndim))
+    out = []
+    for ax in range(labels.ndim):
+        if axis_name is not None and ax == 0:
+            lab = lax.all_to_all(labels, axis_name, split_axis=2,
+                                 concat_axis=0, tiled=True)
+            c = _wall_counts(lab, 0, black_border)
+            c = lax.all_to_all(c, axis_name, split_axis=0, concat_axis=2,
+                               tiled=True)
+        else:
+            c = _wall_counts(labels, ax, black_border)
+        out.append(c)
+    return tuple(out)
 
 
 def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
@@ -682,9 +809,10 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
     construction).
     wall_counts: optional precomputed per-axis wall-count fields from
     ``wall_counts_for(labels, black_border)`` — must come from the SAME
-    labels and black_border (silently wrong otherwise). Skips the label
-    analysis scans when labels are fixed across calls. Single-device
-    only (the sharded rotated pass derives counts from rotated labels).
+    labels, black_border, and axis_name (silently wrong otherwise). Skips
+    the label analysis scans when labels are fixed across calls; under
+    sharding, pass wall_counts_for(..., axis_name=...) computed inside
+    the same shard_map.
     """
     labels = jnp.asarray(labels)
     nd = labels.ndim
@@ -703,8 +831,6 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
 
     if axis_name is not None and nd != 3:
         raise ValueError("sharded multi-label soft EDT requires 3-D")
-    if wall_counts is not None and axis_name is not None:
-        raise ValueError("wall_counts precomputation is single-device only")
     # full ascending-pitch order; the rotated axis-0 pass runs at its
     # natural position so sharded == single-chip composition exactly
     order = sorted(range(nd), key=lambda a: (float(anis_np[a]), -a))
@@ -713,9 +839,17 @@ def multilabel_edtsq(labels, occupancy=None, anisotropy=None,
         if rotated:
             f = lax.all_to_all(f, axis_name, split_axis=2, concat_axis=0,
                                tiled=True)
-            lab = lax.all_to_all(labels, axis_name, split_axis=2,
-                                 concat_axis=0, tiled=True)
-            cnt = _wall_counts(lab, 0, black_border)
+            if wall_counts is not None:
+                # precomputed axis-0 counts (original layout, from
+                # wall_counts_for(..., axis_name=...)) ride the same
+                # rotation as f — int16, half the label rotation's bytes
+                cnt = lax.all_to_all(wall_counts[0], axis_name,
+                                     split_axis=2, concat_axis=0,
+                                     tiled=True)
+            else:
+                lab = lax.all_to_all(labels, axis_name, split_axis=2,
+                                     concat_axis=0, tiled=True)
+                cnt = _wall_counts(lab, 0, black_border)
         elif wall_counts is not None:
             cnt = wall_counts[ax]
         else:

@@ -73,10 +73,9 @@ def _radius_from_gap(gap, w2, n):
 
 HALO = TILE  # INF halo around the scan axis enabling unaligned banded loads
 BAND_MAX_R = 16  # banded branch chosen when the pruning radius <= this
-# wall-count sentinels ("open side", -> INF): must exceed any legitimate
-# count (n + 1). int16 walls require n <= 16000 (edt_tpu.models.soft).
-WALL_SENT16 = 30000
-WALL_SENT32 = 1 << 30
+# wall-count sentinels ("open side", -> INF): single-sourced leaf module
+# shared with edt_tpu.models.soft
+from edt_tpu.ops.wall_sentinels import WALL_SENT16, WALL_SENT32  # noqa: E402
 # (measured v5e crossover: the rolling-window band beats a 128-candidate
 # tile pair only for small radii; per-tile dispatch lets smooth regions of
 # the same volume take the band while feature-dense tiles stay tiled)
@@ -896,11 +895,6 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
-                              "row_sweep", "emit_offsets", "dyn_probe",
-                              "off_track")
-)
 def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
                           block_rows=MP_BLOCK_ROWS, arg_band_r=48,
                           row_sweep=True, emit_offsets=False,
@@ -925,13 +919,42 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     dyn_probe: shrink the probe sweep to the radius implied by the raw
     min(f, wall) bounds when that undershoots the fixed ±16 floor (exact
     either way — see the rowsweep kernel). None -> EDT_TPU_DYN_PROBE env
-    (default off; read at trace time).
+    (resolved here, BEFORE the jit boundary, so the env value is part of
+    the jit cache key and toggling it mid-process takes effect).
 
     off_track: sweeps track the winning offset (broadcast scalar select)
     instead of the absolute index, reconstructed once in the epilogue —
     drops one vector add per (offset, tile) step. Exact either way.
-    None -> EDT_TPU_ARG_OFF_TRACK env (default off; read at trace time).
+    None -> EDT_TPU_ARG_OFF_TRACK env (resolved pre-jit, like dyn_probe).
     """
+    import os
+
+    if dyn_probe is None:
+        dyn_probe = os.environ.get("EDT_TPU_DYN_PROBE", "0") == "1"
+    if off_track is None:
+        off_track = os.environ.get("EDT_TPU_ARG_OFF_TRACK", "0") == "1"
+    if (walls is not None and walls.dtype == jnp.int16
+            and f.shape[1] > 16000):
+        # int16 wall counts can legitimately reach n + 1 > WALL_SENT16 for
+        # 16000 < n <= 32767 and would silently read as open walls
+        raise ValueError(
+            f"int16 wall counts require n <= 16000 (got n={f.shape[1]}); "
+            "use int32 counts")
+    return _minplus_argmin_pallas_jit(
+        f, w2, walls, interpret=interpret, block_rows=block_rows,
+        arg_band_r=arg_band_r, row_sweep=row_sweep,
+        emit_offsets=emit_offsets, dyn_probe=bool(dyn_probe),
+        off_track=bool(off_track))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
+                              "row_sweep", "emit_offsets", "dyn_probe",
+                              "off_track")
+)
+def _minplus_argmin_pallas_jit(f, w2, walls, interpret, block_rows,
+                               arg_band_r, row_sweep, emit_offsets,
+                               dyn_probe, off_track):
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
@@ -970,12 +993,6 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     if emit_offsets:
         off_dtype = jnp.int16 if n <= 16000 else jnp.int32
         arg_out_dtype = off_dtype
-    import os
-
-    if dyn_probe is None:
-        dyn_probe = os.environ.get("EDT_TPU_DYN_PROBE", "0") == "1"
-    if off_track is None:
-        off_track = os.environ.get("EDT_TPU_ARG_OFF_TRACK", "0") == "1"
     if row_sweep:
         kernel = functools.partial(
             _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
@@ -1214,9 +1231,6 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
     lax.cond(moff > rb, supplement, lambda _: 0, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
-                                             "row_sweep", "band_cap",
-                                             "off_sent", "i16_cmp"))
 def minplus_grad_pallas(g, argj=None, interpret=False,
                         block_rows=MP_BLOCK_ROWS, row_sweep=True,
                         band_cap=TILE, offsets=None, off_sent=None,
@@ -1230,13 +1244,24 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
 
     i16_cmp: compare int16 residuals at native width in the sweep instead
     of widening the block to int32 first (exact either way — a hardware
-    tuning knob). None -> EDT_TPU_GRAD_I16_CMP env (default off; read at
-    trace time).
+    tuning knob). None -> EDT_TPU_GRAD_I16_CMP env (resolved here, before
+    the jit boundary, so toggling the env var mid-process takes effect).
     """
     if i16_cmp is None:
         import os
 
         i16_cmp = os.environ.get("EDT_TPU_GRAD_I16_CMP", "0") == "1"
+    return _minplus_grad_pallas_jit(
+        g, argj, offsets, interpret=interpret, block_rows=block_rows,
+        row_sweep=row_sweep, band_cap=band_cap, off_sent=off_sent,
+        i16_cmp=bool(i16_cmp))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
+                                             "row_sweep", "band_cap",
+                                             "off_sent", "i16_cmp"))
+def _minplus_grad_pallas_jit(g, argj, offsets, interpret, block_rows,
+                             row_sweep, band_cap, off_sent, i16_cmp):
     R, n = g.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows

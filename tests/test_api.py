@@ -249,6 +249,22 @@ def test_each_device_matches_host_each():
     assert list(got) == some
 
 
+def test_extract_labels_batched_matches_each():
+    """extract_labels = ONE vmapped dispatch for all ids, slab k equal to
+    extract_label(labels, dt, ids[k])."""
+    import edt_tpu.jax_api as edtj
+
+    rng = np.random.default_rng(9)
+    labels = rng.integers(0, 6, size=(7, 9, 8)).astype(np.uint32)
+    dt = edt.edt(labels, anisotropy=(1.0, 2.0, 1.0))
+    ids = sorted(int(u) for u in np.unique(labels) if u)
+    stack = np.asarray(edtj.extract_labels(labels, dt, ids))
+    assert stack.shape == (len(ids), *labels.shape)
+    host = {k: img.copy() for k, img in edt.each(labels, dt)}
+    for k, slab in zip(ids, stack):
+        assert np.array_equal(slab, host[k]), k
+
+
 def test_reshape_stride_tricks():
     arr = np.arange(12, dtype=np.uint32).reshape(3, 4)
     flat = edt.reshape(arr, (12,))

@@ -144,7 +144,7 @@ def test_sdf_soft_sign():
     assert np.all(s[occ <= 0.5] < 0)
 
 
-def test_binary_heights_closed_form_matches_kernel():
+def test_binary_heights_closed_form_matches_kernel(monkeypatch):
     """The binary-occupancy fast path (closed-form first pass) must equal
     the general min-plus — values, argmins (leftmost ties), and
     gradients."""
@@ -176,8 +176,77 @@ def test_binary_heights_closed_form_matches_kernel():
 
     assert np.allclose(float(lo(occj, False)), float(lo(occj, True)))
     g0 = np.array(jax.grad(lambda o: lo(o, False))(occj))
+    # with the gather backward the fast path routes the SAME contributions
+    # in the same order: gradients are bit-identical
+    monkeypatch.setenv("EDT_TPU_BINARY_GRAD_SCAN", "0")
     g1 = np.array(jax.grad(lambda o: lo(o, True))(occj))
     assert np.array_equal(g0, g1)
+    # the default scan backward reassociates the summation (segmented
+    # scans instead of the offset sweep): equal up to fp round-off
+    monkeypatch.setenv("EDT_TPU_BINARY_GRAD_SCAN", "1")
+    g2 = np.array(jax.grad(lambda o: lo(o, True))(occj))
+    assert np.allclose(g2, g0, rtol=1e-5, atol=1e-6)
+
+
+def test_binary_scan_grad_matches_gather(monkeypatch):
+    """The O(n) scan backward of the closed-form binary pass
+    (EDT_TPU_BINARY_GRAD_SCAN, default on) must match the gather backward
+    — same contribution set, reassociated — on plain and walled passes,
+    including all-solid rows, all-zero rows, end zeros, and adjacent
+    zeros."""
+    rng = np.random.default_rng(7)
+    B = 400.0
+    n = 96
+    f = (rng.random((8, n)) > 0.4).astype(np.float32) * B
+    f[3] = B          # no zeros: every voxel self-wins
+    f[4] = 0.0        # all zeros
+    f[5, 0] = f[5, -1] = 0.0
+    f[5, 1:-1] = B    # end zeros only
+    f[6, 10:14] = 0.0  # adjacent zeros
+    fj = jnp.asarray(f)
+    cot = jnp.asarray(rng.standard_normal((8, n)).astype(np.float32))
+    w2 = jnp.float32(1.3)
+
+    def run_plain(scan):
+        monkeypatch.setenv("EDT_TPU_BINARY_GRAD_SCAN", "1" if scan else "0")
+        y, vjp = jax.vjp(
+            lambda ff, w: soft._minplus_hard(ff, w, binary_heights=True),
+            fj, w2)
+        df, dw2 = vjp(cot)
+        return np.array(y), np.array(df), float(dw2)
+
+    y0, df0, dw0 = run_plain(False)
+    y1, df1, dw1 = run_plain(True)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_allclose(df1, df0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dw1, dw0, rtol=1e-5)
+
+    # walled pass: binary heights from a label mask, walls from the labels
+    lab = jnp.asarray(_blocky_row_labels(rng, (8, n)))
+    cnt = soft._wall_counts(lab, 1, True)
+    occ = (np.array(lab) != 0).astype(np.float32)
+    occ[rng.random((8, n)) > 0.7] = 0.0  # occupancy holes -> zero sites
+    fw = jnp.asarray(occ * B)
+
+    def run_walled(scan):
+        monkeypatch.setenv("EDT_TPU_BINARY_GRAD_SCAN", "1" if scan else "0")
+        y, vjp = jax.vjp(
+            lambda ff, w: soft._multilabel_pass(ff, cnt, w, 0.0,
+                                                binary_heights=True),
+            fw, jnp.float32(1.1))
+        df, dw2 = vjp(cot)
+        return np.array(y), np.array(df), float(dw2)
+
+    y0, df0, dw0 = run_walled(False)
+    y1, df1, dw1 = run_walled(True)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_allclose(df1, df0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dw1, dw0, rtol=1e-5)
+
+
+def _blocky_row_labels(rng, shape):
+    base = rng.integers(0, 4, size=(shape[0], shape[1] // 8))
+    return np.kron(base, np.ones((1, 8), dtype=np.int64)).astype(np.uint32)
 
 
 def test_softmin_custom_vjp_matches_ad():

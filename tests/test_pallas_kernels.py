@@ -419,6 +419,18 @@ def test_argmin_walls_as_counts_matches_f32_walls():
         assert np.array_equal(np.array(a_f), np.array(a_k)), sweep
 
 
+def test_argmin_int16_walls_long_row_rejected():
+    """For 16000 < n <= 32767 legitimate int16 wall counts (up to n + 1)
+    can reach WALL_SENT16 and silently read as open walls — the public
+    entry must enforce its documented precondition."""
+    n = 16384
+    f = jnp.zeros((1, n), jnp.float32)
+    cnt = jnp.ones((1, n), jnp.int16)
+    with pytest.raises(ValueError, match="int16 wall counts"):
+        pk.minplus_argmin_pallas(f, jnp.float32(1.0), walls=cnt,
+                                 interpret=True)
+
+
 def test_grad_gather_offsets_mode_matches_absolute():
     """Residual-offset input (int16, optional inert sentinel) must match
     the absolute-argj path exactly, including capped bands."""

@@ -280,6 +280,114 @@ def test_sharded_multilabel_soft_matches_single(temperature):
                                atol=2e-3)
 
 
+@pytest.mark.parametrize("temperature", [0.0, 0.5])
+def test_sharded_precomputed_wall_counts(temperature):
+    """wall_counts_for(..., axis_name=...) + wall_counts= under shard_map
+    must reproduce the in-call label analysis exactly (values AND
+    occupancy gradients) — the fixed-segmentation training pattern
+    (examples/optimize_occupancy.py) combined with sharding."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from edt_tpu.models import soft
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(29)
+    shape = (8, 5, 8)
+    labels = jnp.asarray(rng.integers(0, 3, size=shape).astype(np.uint32))
+    occ = jnp.asarray(np.clip(rng.random(shape), 0.1, 0.95)
+                      .astype(np.float32))
+    kw = dict(anisotropy=(1.0, 1.0, 2.0), black_border=True, barrier=150.0,
+              temperature=temperature)
+
+    def run(lab, o, pre):
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P("sp"), P("sp")), out_specs=P("sp"),
+                           check_vma=True)
+        def f(lab, o):
+            counts = (soft.wall_counts_for(lab, black_border=True,
+                                           axis_name="sp") if pre else None)
+            return soft.multilabel_edtsq(lab, o, axis_name="sp",
+                                         wall_counts=counts, **kw)
+
+        return f(lab, o)
+
+    d_pre = np.array(run(labels, occ, True))
+    d_re = np.array(run(labels, occ, False))
+    np.testing.assert_array_equal(d_pre, d_re)
+    g_pre = jax.grad(lambda o: jnp.sum(run(labels, o, True)))(occ)
+    g_re = jax.grad(lambda o: jnp.sum(run(labels, o, False)))(occ)
+    np.testing.assert_array_equal(np.array(g_pre), np.array(g_re))
+
+
+def test_sharded_vma_clean_w2_cotangent():
+    """The min-plus custom VJPs must be vma-clean under check_vma=True
+    (no check_vma=False escapes anywhere), and the w2 cotangent must be
+    the cross-shard sum: soft._match_vma casts a replicated w2 to the
+    data's vma before the custom_vjp, whose transpose is exactly the psum
+    a replicated scalar's cotangent requires (round-3 MULTICHIP
+    regression, VERDICT r3 item 1)."""
+    import functools
+
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from edt_tpu.models import soft
+
+    mesh = _mesh(8)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.random((16, 32)).astype(np.float32)) * 10.0
+    cnt = soft._wall_counts(
+        jnp.asarray(rng.integers(0, 3, size=(16, 32)).astype(np.uint32)),
+        1, True)
+    cost = jnp.asarray(rng.random((16, 32)).astype(np.float32))
+
+    def pair(fn):
+        def single(w2):
+            return jnp.sum(fn(f, w2) * cost)
+
+        def sharded(w2):
+            @functools.partial(jax.shard_map, mesh=mesh,
+                               in_specs=(P(), P("sp"), P("sp")),
+                               out_specs=P(), check_vma=True)
+            def inner(w2, fl, cl):
+                return lax.psum(jnp.sum(fn(fl, w2) * cl), "sp")
+
+            return inner(w2, f, cost)
+
+        return single, sharded
+
+    w2 = jnp.asarray(1.7, jnp.float32)
+    cases = {
+        "hard": lambda fl, w2: soft._minplus_hard(fl, w2),
+        "soft": lambda fl, w2: soft._minplus_soft(fl, w2, 0.5),
+    }
+    for name, fn in cases.items():
+        single, sharded = pair(fn)
+        g1, g2 = jax.grad(single)(w2), jax.grad(sharded)(w2)
+        assert np.allclose(np.array(g1), np.array(g2), rtol=1e-5), (
+            name, g1, g2)
+
+    # walled path: counts are sharded alongside f
+    def single_w(w2):
+        return jnp.sum(soft._make_minplus_hard_walled(False)(
+            f, w2, cnt) * cost)
+
+    def sharded_w(w2):
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(), P("sp"), P("sp"), P("sp")),
+                           out_specs=P(), check_vma=True)
+        def inner(w2, fl, cl, cntl):
+            d = soft._multilabel_pass(fl, cntl, jnp.sqrt(w2), 0.0)
+            return lax.psum(jnp.sum(d * cl), "sp")
+
+        return inner(w2, f, cost, cnt)
+
+    g1, g2 = jax.grad(single_w)(w2), jax.grad(sharded_w)(w2)
+    assert np.allclose(np.array(g1), np.array(g2), rtol=1e-5), (g1, g2)
+
+
 def test_sharded_voxel_graph():
     from edt_tpu.parallel import edtsq_voxel_graph_sharded
     import edt_tpu as edt

@@ -260,3 +260,43 @@ def test_precomputed_wall_counts_match_recompute():
     g_re = jax.grad(lambda o: jnp.sum(
         soft.multilabel_edtsq(lab, o, **kw)))(occ)
     np.testing.assert_array_equal(np.asarray(g_pre), np.asarray(g_re))
+
+
+def test_temperature_to_zero_converges_to_hard():
+    """t -> 0 continuity: at temperature > 0 the wall clamp blends via
+    logaddexp and the min via softmin, so the forward no longer equals
+    hard edtsq — but it must CONVERGE to it as t -> 0, pinning the
+    wall-at-distance-w rule (reference edt.hpp:99-103) in the smooth
+    regime, not just at t = 0.
+
+    Two properties: (a) the soft forward is a LOWER bound on the hard
+    transform that increases monotonically toward it as t decreases
+    (softmin and logaddexp-blend are both monotone in t), and (b) the
+    t = 0.01 forward is within a softmin-gap bound ~ t * log(#candidates)
+    of the hard result."""
+    rng = np.random.default_rng(31)
+    labels = _blocky_labels(rng, (12, 10, 9), n_labels=4, blk=3)
+    kw = dict(anisotropy=(1.0, 2.0, 1.0), black_border=True)
+    hard = np.array(
+        soft.multilabel_edtsq(jnp.asarray(labels), temperature=0.0, **kw))
+    temps = [1.0, 0.3, 0.1, 0.03, 0.01]
+    outs = [np.array(soft.multilabel_edtsq(jnp.asarray(labels),
+                                           temperature=t, **kw))
+            for t in temps]
+    prev = None
+    for t, d in zip(temps, outs):
+        # softmin of non-negative costs: lower bound on the hard min
+        assert np.all(d <= hard + 1e-4), t
+        if prev is not None:
+            # monotone in t: smaller t -> closer to (larger than) prev
+            assert np.all(d >= prev - 1e-4), t
+        prev = d
+    # quantitative convergence: gap < t * log(total candidates per voxel)
+    # summed over 3 passes + wall blends; generous constant, tight order
+    n_cand = float(np.prod(labels.shape))
+    for t, d in zip(temps, outs):
+        gap = np.max(hard - d)
+        assert gap <= 6.0 * t * np.log(n_cand) + 1e-3, (t, gap)
+    # and the error actually shrinks with t
+    gaps = [np.max(hard - d) for d in outs]
+    assert gaps[-1] < gaps[0] / 10
