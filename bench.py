@@ -66,7 +66,47 @@ def chain_timer(step, labels, x, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def wait_for_backend():
+    """Poll backend initialization in SUBPROCESSES before touching jax here.
+
+    The axon backend can be transiently unavailable (r03's driver capture
+    lost the round's headline to exactly this); a failed in-process init
+    can also be cached by jax. Probing in a child keeps this process
+    clean, and we only proceed once a probe succeeds — or the deadline
+    passes (then the real failure surfaces naturally).
+    """
+    import subprocess
+
+    deadline = time.time() + float(
+        os.environ.get("EDT_BENCH_BACKEND_WAIT_S", "1800"))
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, timeout=420, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                if attempt > 1:
+                    print(f"# backend up after {attempt} probes",
+                          file=sys.stderr)
+                return
+            err = (r.stderr or r.stdout).strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (init hang)"
+        if time.time() > deadline:
+            print(f"# backend still down after {attempt} probes: {err}",
+                  file=sys.stderr)
+            return
+        print(f"# backend not ready (probe {attempt}: {err}); retrying",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     rng = np.random.default_rng(42)
     labels_np = make_labels(rng, SIZE)
     labels = jnp.asarray(labels_np)
