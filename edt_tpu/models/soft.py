@@ -274,7 +274,12 @@ def _make_minplus_hard(binary_heights, scan_grad=False):
             omax = jnp.iinfo(o.dtype).max
             z = o == omax
             o0 = jnp.where(z, jnp.zeros((), o.dtype), o)
-            df = _binary_grad_from_links(g, o0, z)
+            if _use_pallas():
+                from edt_tpu.ops import pallas_kernels
+
+                df = pallas_kernels.binary_grad_scan_pallas(g, o)
+            else:
+                df = _binary_grad_from_links(g, o0, z)
             dw2 = jnp.sum(g * o0.astype(F32) ** 2)
             return df, dw2
         # d[r, i] = f[r, i + o[r, i]] + w2 * o^2
@@ -681,7 +686,13 @@ def _make_minplus_hard_walled(binary_heights, scan_grad=False):
         if binary_heights and scan_grad:
             z = o == jnp.iinfo(o.dtype).max
             o0 = jnp.where(win & ~z, o, jnp.zeros((), o.dtype))
-            df = _binary_grad_from_links(gm, o0, z)
+            if _use_pallas():
+                from edt_tpu.ops import pallas_kernels
+
+                df = pallas_kernels.binary_grad_scan_pallas(g, o,
+                                                            off_sent=sent)
+            else:
+                df = _binary_grad_from_links(gm, o0, z)
             dw2 = jnp.sum(gm * o0.astype(F32) ** 2)
             c = cnt.astype(F32)
             dw2 = dw2 + jnp.sum(

@@ -1330,6 +1330,96 @@ def _minplus_grad_pallas_jit(g, argj, offsets, interpret, block_rows,
     return out[:R, :n]
 
 
+def _binary_grad_scan_kernel(g_ref, o_ref, out_ref, *, width, block_rows,
+                             off_sent, omax):
+    """Closed-form-binary-pass backward as VMEM segmented scans.
+
+    Residual offsets o mark wall wins with ``off_sent`` (inert) and zero
+    sites with ``omax``; every other winner links to the nearest zero on
+    its side, so each zero site's sources are contiguous runs (see
+    models.soft._binary_grad_from_links for the argument). Two segmented
+    Hillis-Steele scans (log2(width) shift steps, flags at zero sites)
+    produce every zero site's gathered cotangent in ~2 log2(n) vector
+    steps and ONE HBM round trip — vs the gather sweep's 2*moff + 1
+    whole-row roll+select steps (moff ~ 32-64 on the blocky headline) or
+    the XLA associative_scan's log2(n) full-size HBM temporaries.
+    """
+    lanes = lax.broadcasted_iota(I32, (block_rows, width), 1)
+    o = o_ref[:, :]
+    g = g_ref[:, :]
+    if off_sent is not None:
+        live = o != off_sent
+        g = jnp.where(live, g, 0.0)
+        o = jnp.where(live, o, jnp.zeros((), o.dtype))
+    z = o == omax
+    o0 = jnp.where(z, jnp.zeros((), o.dtype), o)
+    zf = jnp.where(z, 1.0, 0.0)  # flags as f32 (mask-fold rule)
+    hR = jnp.where(o0 > 0, g, 0.0)
+    hL = jnp.where(o0 < 0, g, 0.0)
+
+    def seg_scan(h, reverse):
+        # v[i] = sum of h over [segment_start(i), i] (or mirrored), with
+        # segments starting AT flagged positions: v += (fl ? 0 : v_shift);
+        # fl |= fl_shift. Circular roll wrap-ins are masked to the
+        # identity (flag 0, value 0).
+        v, fl = h, zf
+        s = 1
+        while s < width:
+            if reverse:
+                vs = pltpu.roll(v, width - s, axis=1)  # from i + s
+                fs = pltpu.roll(fl, width - s, axis=1)
+                edge = lanes < width - s
+            else:
+                vs = pltpu.roll(v, s, axis=1)  # from i - s
+                fs = pltpu.roll(fl, s, axis=1)
+                edge = lanes >= s
+            vs = jnp.where(edge, vs, 0.0)
+            fs = jnp.where(edge, fs, 0.0)
+            v = v + jnp.where(fl > 0.0, 0.0, vs)
+            fl = jnp.maximum(fl, fs)
+            s *= 2
+        return v
+
+    fs_ = seg_scan(hR, False)
+    rs_ = seg_scan(hL, True)
+    fs_prev = jnp.where(lanes >= 1, pltpu.roll(fs_, 1, axis=1), 0.0)
+    rs_next = jnp.where(lanes < width - 1,
+                        pltpu.roll(rs_, width - 1, axis=1), 0.0)
+    out_ref[:, :] = (jnp.where(o0 == 0, g, 0.0)
+                     + jnp.where(z, fs_prev + rs_next, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("off_sent", "interpret",
+                                             "block_rows"))
+def binary_grad_scan_pallas(g, offsets, off_sent=None, interpret=False,
+                            block_rows=MP_BLOCK_ROWS):
+    """(R, n) cotangents + binary-pass link offsets -> df, via segmented
+    scans (see _binary_grad_scan_kernel). offsets must mark zero sites
+    with their dtype max (models.soft stores them that way when the scan
+    backward is active) and wall wins with ``off_sent`` if walled."""
+    R, n = g.shape
+    np_ = max(1, -(-n // TILE)) * TILE
+    if np_ > 4096:
+        block_rows = min(block_rows, 8)  # VMEM: ~6 f32 row copies live
+    Rp = -(-R // block_rows) * block_rows
+    omax = int(jnp.iinfo(offsets.dtype).max)
+    gp = _pad_to(g.astype(F32), Rp, np_, 0.0, halo=0)
+    op = _pad_to(offsets, Rp, np_, 0, halo=0)
+    spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_binary_grad_scan_kernel, width=np_,
+                          block_rows=block_rows, off_sent=off_sent,
+                          omax=omax),
+        grid=(Rp // block_rows,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
+        interpret=interpret,
+    )(gp, op)
+    return out[:R, :n]
+
+
 # ---------------------------------------------------------------------------
 # Softmin-plus (temperature > 0) — the smooth training mode of
 # edt_tpu.models.soft. d[i] = -t * log sum_j exp(-(f[j] + w2 (i-j)^2)/t).

@@ -419,6 +419,49 @@ def test_argmin_walls_as_counts_matches_f32_walls():
         assert np.array_equal(np.array(a_f), np.array(a_k)), sweep
 
 
+@pytest.mark.parametrize("walled", [False, True])
+def test_binary_grad_scan_kernel_matches_jnp(walled):
+    """The VMEM segmented-scan backward must match the XLA scan path (and
+    hence the gather, up to fp summation order) on binary-pass links with
+    zero-site marks, wall sentinels, unaligned widths, and no-zero rows."""
+    from edt_tpu.models import soft
+
+    rng = np.random.default_rng(11)
+    n = 300  # unaligned (pads to 384)
+    R = 9
+    B = 900.0
+    f = (rng.random((R, n)) > 0.35).astype(np.float32) * B
+    f[2] = B  # no zeros
+    f[3] = 0.0  # all zeros
+    g = rng.standard_normal((R, n)).astype(np.float32)
+    fj, w2 = jnp.asarray(f), jnp.float32(1.7)
+    d, argj = soft._minplus_hard_binary_with_arg(fj, w2)
+    idx = np.arange(n, dtype=np.int32)[None, :]
+    o = (np.array(argj) - idx).astype(np.int16)
+    omax = np.iinfo(np.int16).max
+    sent = np.iinfo(np.int16).min
+    if walled:
+        # clamp against random walls: wall wins become inert sentinels
+        walls = 1.7 * rng.integers(1, 20, size=(R, n)).astype(np.float32) ** 2
+        winm = np.array(d) <= walls
+        o = np.where(winm, o, sent).astype(np.int16)
+    o = np.where(f <= 0.0, omax, o).astype(np.int16)
+    oj, gj = jnp.asarray(o), jnp.asarray(g)
+
+    got = np.array(pk.binary_grad_scan_pallas(
+        gj, oj, off_sent=int(sent) if walled else None, interpret=True))
+    z = o == omax
+    gm = jnp.where(jnp.asarray(o != sent if walled else np.ones_like(o, bool)),
+                   gj, 0.0)
+    o0 = np.where(z | (o == sent), 0, o).astype(np.int16)
+    want = np.array(soft._binary_grad_from_links(
+        gm, jnp.asarray(o0), jnp.asarray(z)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # conservation: every live cotangent lands somewhere exactly once
+    live = (o != sent) if walled else np.ones_like(o, bool)
+    np.testing.assert_allclose(got.sum(), g[live].sum(), rtol=1e-4)
+
+
 def test_argmin_int16_walls_long_row_rejected():
     """For 16000 < n <= 32767 legitimate int16 wall counts (up to n + 1)
     can reach WALL_SENT16 and silently read as open walls — the public
