@@ -16,6 +16,10 @@ flow through the argmin-residual VJP to the occupancy holes.
 Usage:
   python examples/optimize_occupancy.py [--steps 40] [--size 24]
   (CPU: JAX_PLATFORMS=cpu works; the kernels fall back to jnp paths)
+  --sharded: same optimization with the volume slab-sharded over every
+  visible device (the wall-count precompute and the transform both run
+  inside one shard_map; counts are computed once, in the sharded layout,
+  via wall_counts_for(..., axis_name=...)).
 """
 
 import argparse
@@ -38,34 +42,79 @@ def main():
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--size", type=int, default=24)
     ap.add_argument("--temperature", type=float, default=0.5)
+    ap.add_argument("--sharded", action="store_true",
+                    help="slab-shard the volume over all visible devices")
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force a virtual CPU mesh of N devices (like "
+                         "benchmarks/config5.py)")
     args = ap.parse_args()
+
+    if args.cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+        )
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
     s = args.size
+    if args.sharded:
+        ndev = len(jax.devices())
+        s = -(-s // ndev) * ndev  # rotation axes (0 and 2) must divide
     # blocky segmentation (connectomics-style), labels fixed for the run
     blk = max(2, s // 6)
     base = rng.integers(0, 4, size=(-(-s // blk),) * 3)
     labels = np.kron(base, np.ones((blk,) * 3, np.int64))[:s, :s, :s]
     labels = jnp.asarray(labels.astype(np.uint32))
+    aniso = (1.0, 1.0, 2.0)
+
+    if args.sharded:
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("sp",))
+        sp = P("sp")
+
+        @functools.partial(jax.shard_map, mesh=mesh, in_specs=sp,
+                           out_specs=(sp,) * 3, check_vma=True)
+        def counts_fn(lab):
+            return soft.wall_counts_for(lab, black_border=True,
+                                        axis_name="sp")
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(sp, sp, (sp, sp, sp)),
+            out_specs=sp, check_vma=True)
+        def dist(lab, occ, counts):
+            return soft.multilabel_edtsq(
+                lab, occ, aniso, black_border=True,
+                temperature=args.temperature, wall_counts=counts,
+                axis_name="sp")
+    else:
+        def counts_fn(lab):
+            return soft.wall_counts_for(lab, black_border=True)
+
+        def dist(lab, occ, counts):
+            return soft.multilabel_edtsq(
+                lab, occ, aniso, black_border=True,
+                temperature=args.temperature, wall_counts=counts)
+
+    # labels are static: one-time wall analysis, reused by every step
+    # (under --sharded the scans run inside the shard_map, axis-0 in the
+    # rotated layout, and the fields stay sharded for every later step)
+    counts = counts_fn(labels)
 
     # target: distance field of the INTACT volume (occupancy = mask)
-    aniso = (1.0, 1.0, 2.0)
-    target = soft.multilabel_edtsq(labels, anisotropy=aniso,
-                                   black_border=True)
+    mask = (labels != 0).astype(np.float32)
+    target = dist(labels, mask, counts)
 
     # initial occupancy: the mask with random holes punched into it
-    mask = (labels != 0).astype(np.float32)
     holes = (rng.random(mask.shape) < 0.15) & (np.asarray(mask) > 0)
     occ0 = jnp.asarray(np.where(holes, 0.2, mask).astype(np.float32))
 
-    # labels are static: one-time wall analysis, reused by every step
-    counts = soft.wall_counts_for(labels, black_border=True)
-
     def loss_fn(logits):
         occ = jax.nn.sigmoid(logits)
-        d = soft.multilabel_edtsq(labels, occ, aniso, black_border=True,
-                                  temperature=args.temperature,
-                                  wall_counts=counts)
+        d = dist(labels, occ, counts)
         return jnp.mean((d - target) ** 2)
 
     optimizer = optax.adam(0.5)
