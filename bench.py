@@ -77,6 +77,10 @@ def wait_for_backend():
     """
     import subprocess
 
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # explicit CPU run: nothing to wait for (the axon site's
+        # sitecustomize can override the env in the probe child, so the
+        # probe would spin against the TPU tunnel pointlessly)
     deadline = time.time() + float(
         os.environ.get("EDT_BENCH_BACKEND_WAIT_S", "1800"))
     attempt = 0
