@@ -34,6 +34,13 @@ import time
 import numpy as np
 
 import jax
+
+# smoke-testing the bench off-TPU: plain JAX_PLATFORMS is too late here
+# (the device-plugin site imports jax at interpreter start) — force via
+# config before first backend use, like benchmarks/scaling.py
+if os.environ.get("EDT_BENCH_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from edt_tpu.models import soft
@@ -77,7 +84,8 @@ def wait_for_backend():
     """
     import subprocess
 
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    if (os.environ.get("EDT_BENCH_PLATFORM") == "cpu"
+            or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
         return  # explicit CPU run: nothing to wait for (the axon site's
         # sitecustomize can override the env in the probe child, so the
         # probe would spin against the TPU tunnel pointlessly)
