@@ -5,14 +5,15 @@
 #
 #   bash benchmarks/hw_checklist.sh [step]
 #
-# Steps (default: all in order):
+# Steps in "all": headline, grad, roofline, table1, table2, ceiling.
 #   headline   bench.py JSON line (the driver metric)
 #   grad       fwd/bwd split + scan-vs-gather backward A/B (2 processes)
 #   roofline   HBM + VPU roof percentages (record in README/PARITY)
 #   table1     benchmarks/run.py --sections binary,multilabel,sdf
 #   table2     benchmarks/run.py --sections soft,each,vg
 #   ceiling    masked-VMEM-ceiling test on device (VERDICT r3 item 8)
-#   sweeps     grad band-cap / block-rows knob sweep (1 process/variant)
+# Explicit-only (long): pass the step name to run them.
+#   sweeps     grad band-cap knob sweep (1 process/variant)
 #   tests      TPU-side pytest shards
 set -u
 cd "$(dirname "$0")/.."
@@ -23,7 +24,11 @@ log() { echo "=== $(date +%F' '%T) $*" | tee -a "$OUT"; }
 run() { log "$*"; timeout 590 "$@" 2>&1 | tee -a "$OUT"; }
 
 if [[ "$step" == all || "$step" == headline ]]; then
-  run python bench.py
+  # no backend wait here: the checklist is run interactively once the
+  # backend is known up, and the wait would blow the 590 s step budget
+  # (the long wait is for the unattended driver capture)
+  log "bench.py headline"
+  EDT_BENCH_BACKEND_WAIT_S=0 timeout 590 python bench.py 2>&1 | tee -a "$OUT"
 fi
 if [[ "$step" == all || "$step" == grad ]]; then
   log "grad split, scan backward (default)"

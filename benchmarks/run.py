@@ -221,13 +221,19 @@ def main():
         t_dev = time.perf_counter() - t0
         # batched device extraction: ONE vmapped dispatch for all labels
         # (memory = N full volumes — chunk to fit; 32 here)
-        chunk = 32
+        chunk = min(32, len(ids))
         edtj.extract_labels(lab_d, dt_d, ids[:chunk]).block_until_ready()
         t0 = time.perf_counter()
         count_batched = 0
-        for c0 in range(0, len(ids) - (len(ids) % chunk), chunk):
-            stack = edtj.extract_labels(lab_d, dt_d, ids[c0:c0 + chunk])
-            count_batched += stack.shape[0]
+        stack = None
+        for c0 in range(0, len(ids), chunk):
+            ids_c = ids[c0:c0 + chunk]
+            # keep the dispatch shape fixed (one compile): pad the tail
+            # chunk by repeating its last id — extra slabs aren't counted
+            pad = chunk - len(ids_c)
+            stack = edtj.extract_labels(lab_d, dt_d,
+                                        ids_c + [ids_c[-1]] * pad)
+            count_batched += len(ids_c)
         stack.block_until_ready()
         t_batched = time.perf_counter() - t0
         results["each_extraction"] = {

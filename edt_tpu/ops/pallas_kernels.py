@@ -918,14 +918,16 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
 
     dyn_probe: shrink the probe sweep to the radius implied by the raw
     min(f, wall) bounds when that undershoots the fixed ±16 floor (exact
-    either way — see the rowsweep kernel). None -> EDT_TPU_DYN_PROBE env
-    (resolved here, BEFORE the jit boundary, so the env value is part of
-    the jit cache key and toggling it mid-process takes effect).
+    either way — see the rowsweep kernel). None -> EDT_TPU_DYN_PROBE env,
+    resolved here so it feeds this function's own jit cache key: toggling
+    the env var takes effect for every NEW outer trace. A caller that
+    cached an outer jit (and hits that cache) still replays the variant
+    traced into it — sweep knobs in one process per variant regardless.
 
     off_track: sweeps track the winning offset (broadcast scalar select)
     instead of the absolute index, reconstructed once in the epilogue —
     drops one vector add per (offset, tile) step. Exact either way.
-    None -> EDT_TPU_ARG_OFF_TRACK env (resolved pre-jit, like dyn_probe).
+    None -> EDT_TPU_ARG_OFF_TRACK env (resolved like dyn_probe).
     """
     import os
 
@@ -1244,8 +1246,9 @@ def minplus_grad_pallas(g, argj=None, interpret=False,
 
     i16_cmp: compare int16 residuals at native width in the sweep instead
     of widening the block to int32 first (exact either way — a hardware
-    tuning knob). None -> EDT_TPU_GRAD_I16_CMP env (resolved here, before
-    the jit boundary, so toggling the env var mid-process takes effect).
+    tuning knob). None -> EDT_TPU_GRAD_I16_CMP env, resolved here so it
+    feeds this function's jit cache key (effective for new outer traces;
+    an already-cached outer jit replays its traced variant).
     """
     if i16_cmp is None:
         import os
