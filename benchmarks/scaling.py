@@ -115,11 +115,49 @@ def run_distributed(args):
     anis = (1.0, 1.0, 1.0)
     dt = time_call(lambda: jax.block_until_ready(
         edtsq_sharded(labels, anis, False, mesh=mesh)))
+
+    # one step of the (dp, sp) ZeRO-style training pattern across
+    # processes: differentiable sharded EDT + reduce-scattered grads +
+    # mesh-sharded optimizer state + invariant param gather, all under
+    # jax.distributed (the pod runbook's actual comm path, not just
+    # in-process shard_map)
+    import optax
+
+    from jax.sharding import Mesh as _Mesh
+    from edt_tpu.models import distance_net, soft as msoft
+
+    ndev = len(devs)
+    dp = 2 if (ndev >= 4 and ndev % 2 == 0) else 1
+    sp = ndev // dp
+    mesh2 = _Mesh(np.asarray(devs).reshape(dp, sp), ("dp", "sp"))
+    B, X, Y, Z, C = 2 * dp, 4 * sp, 4, 4 * sp, 4
+    key = jax.random.PRNGKey(0)  # same seed every process -> same params
+    params = distance_net.init_params(key, c_in=C, hidden=8)
+    optimizer = optax.adam(1e-3)
+    barrier = float(msoft.default_barrier((X, Y, Z), (1.0, 1.0, 1.0)))
+    step = distance_net.make_sharded_train_step(
+        mesh2, optimizer, barrier=barrier, grad_reduce_scatter=True,
+        params_template=params)
+    opt_rs = distance_net.init_sharded_opt_state(mesh2, optimizer, params)
+    rngf = np.random.default_rng(1)
+    feats_np = rngf.standard_normal((B, X, Y, Z, C)).astype(np.float32)
+    target_np = np.zeros((B, X, Y, Z), np.float32)
+    sh = NamedSharding(mesh2, P("dp", "sp"))
+    feats = jax.make_array_from_callback(feats_np.shape, sh,
+                                         lambda idx: feats_np[idx])
+    target = jax.make_array_from_callback(target_np.shape, sh,
+                                          lambda idx: target_np[idx])
+    params = jax.device_put(params, NamedSharding(mesh2, P()))
+    _, _, loss = step(params, opt_rs, feats, target)
+    loss = float(loss)
+    assert np.isfinite(loss), loss
+
     if args.process_id == 0:
         print(json.dumps({
             "size": S, "backend": jax.default_backend(),
             "processes": args.num_processes, "devices": len(devs),
             "s": dt, "Mvox_s": S ** 3 / dt / 1e6,
+            "train_step_loss": loss,
         }))
 
 
