@@ -1098,10 +1098,13 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
                                   off_sent=None, i16_cmp=False):
     """Offset-major grad gather: whole-row rolls of g and argj shared
     across target tiles (same restructuring as the forward row sweep —
-    halves roll traffic vs per-tile 3-tile windows). Links longer than
-    ``band_cap`` are handled by a SUPPLEMENTAL pass that visits only
-    source tiles whose own max link exceeds the swept band (per-tile link
-    maxima in SMEM scratch), with a hit filter |argj - i| > band so
+    halves roll traffic vs per-tile 3-tile windows). The band covers the
+    block's SIGNED link range [max(min_o, -band_cap), min(max_o,
+    band_cap)] — asymmetric links (anisotropic passes, borders) cost
+    only the offsets that actually occur, not a symmetric 2·max|o|+1.
+    Links outside the band are handled by a SUPPLEMENTAL pass that
+    visits only source tiles whose own extrema leave it (per-tile signed
+    extrema in SMEM scratch), with a hit filter o outside [lo, hi] so
     nothing double counts — a few long links no longer drag the whole
     block through extra sweep offsets (every offset costs a whole-row
     roll) or full tile-pair gathers.
@@ -1141,20 +1144,28 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
             I32, (block_rows, width), 1)
     g_full = g_ref[:, :]
 
-    m = jnp.int32(0)
+    # per-tile SIGNED link extrema (SMEM): the band sweeps [lo, hi] =
+    # [max(min_o, -cap), min(max_o, cap)] instead of the symmetric
+    # [-max|o|, max|o|] — strictly fewer whole-row steps whenever the
+    # block's links are one-sided (anisotropic passes, border regions)
+    mn = jnp.int32(0)
+    mx = jnp.int32(0)
     for t in range(n_tiles):
         ot = o_full[:, t * TILE:(t + 1) * TILE]
-        at = jnp.abs(ot)
         if off_sent is not None:
-            at = jnp.where(ot == off_sent, 0, at)  # inert marker
-        mt = jnp.max(at).astype(I32)
-        m_ref[t] = mt
-        m = jnp.maximum(m, mt)
-    moff = m
-    rb = jnp.minimum(moff, jnp.int32(band_cap))  # banded range
+            ot = jnp.where(ot == off_sent, jnp.zeros((), ot.dtype), ot)
+        mnt = jnp.min(ot).astype(I32)
+        mxt = jnp.max(ot).astype(I32)
+        m_ref[0, t] = mnt
+        m_ref[1, t] = mxt
+        mn = jnp.minimum(mn, mnt)
+        mx = jnp.maximum(mx, mxt)
+    lo = jnp.maximum(mn, jnp.int32(-band_cap))  # banded range [lo, hi]
+    hi = jnp.minimum(mx, jnp.int32(band_cap))
 
-    # (no out_ref zero-init: banded_sweep below writes every tile, even at
-    # rb == 0 — its k == 0 step always runs)
+    # (no out_ref zero-init: banded_sweep below writes every tile, even
+    # with a single-offset band — at least the k = lo step always runs,
+    # since lo <= 0 <= hi by construction: inert/padding offsets are 0)
 
     def banded_sweep(_):
         # rotating-accumulator gather: the compare+select for link offset
@@ -1167,28 +1178,29 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         # instead of two (of g and argj) — the rolls dominate the sweep —
         # plus a single dynamic unrotation at the end.
         def body(k, acc):
-            kk = k - rb
-            # compare in the residual's native width (i16_cmp): |kk| <= rb
-            # <= band_cap always fits int16
+            kk = k + lo
+            # compare in the residual's native width (i16_cmp): |kk| <=
+            # band_cap always fits int16
             acc = acc + jnp.where(o_full == kk.astype(o_full.dtype),
                                   g_full, 0.0)
             return pltpu.roll(acc, width - 1, axis=1)  # s += 1
 
         acc0 = jnp.zeros((block_rows, width), F32)
-        acc = lax.fori_loop(0, 2 * rb + 1, body, acc0)
-        # loop left-rotated 2rb+1 times: alignment s = rb + 1, so
-        # df[j] = acc[:, (j - rb - 1) % width]; one shift restores it
-        final = pltpu.roll(acc, (rb + 1) % width, axis=1)
+        acc = lax.fori_loop(0, hi - lo + 1, body, acc0)
+        # the loop left-rotated (hi - lo + 1) times from alignment s = lo:
+        # df[j] = acc[:, (j - hi - 1) % width]; one shift restores it
+        final = pltpu.roll(acc, (hi + 1) % width, axis=1)
         for it in range(n_tiles):
             out_ref[:, pl.ds(it * TILE, TILE)] = final[
                 :, it * TILE:(it + 1) * TILE]
         return 0
 
     banded_sweep(0)
+    moff = jnp.maximum(-mn, mx)  # max |o| (supplement source ranges)
 
     def supplement(_):
-        # long links only: source tiles with max link > rb, hits filtered
-        # to |argj - i| > rb (the band already credited the short ones)
+        # long links only: source tiles whose extrema leave [lo, hi],
+        # hits filtered to o outside the band (already credited there)
         jlanes3 = lax.broadcasted_iota(I32, (1, 1, TILE), 2)
 
         def per_target_tile(jt, _):
@@ -1212,7 +1224,7 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
                     # expansion (Mosaic cannot expand i1 vectors); inert
                     # markers reconstruct to negative positions (no hit),
                     # but mask them here too for safety
-                    far = jnp.abs(o_i) > rb
+                    far = (o_i < lo) | (o_i > hi)
                     if off_sent is not None:
                         far = far & (o_i != off_sent)
                     g_far = jnp.where(far, g_i, 0.0)
@@ -1220,7 +1232,8 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
                     contrib = jnp.where(hit, g_far[:, :, None], 0.0)
                     return acc + jnp.sum(contrib, axis=1)
 
-                return lax.cond(m_ref[it] > rb, work, lambda a: a, acc)
+                need = (m_ref[0, it] < lo) | (m_ref[1, it] > hi)
+                return lax.cond(need, work, lambda a: a, acc)
 
             acc = lax.fori_loop(it_lo, it_hi, per_source_tile,
                                 out_ref[:, pl.ds(j0, TILE)])
@@ -1230,7 +1243,7 @@ def _minplus_grad_rowsweep_kernel(g_ref, arg_ref, out_ref, m_ref, *, n_tiles,
         lax.fori_loop(0, n_tiles, per_target_tile, 0)
         return 0
 
-    lax.cond(moff > rb, supplement, lambda _: 0, 0)
+    lax.cond((mn < lo) | (mx > hi), supplement, lambda _: 0, 0)
 
 
 def minplus_grad_pallas(g, argj=None, interpret=False,
@@ -1310,7 +1323,7 @@ def _minplus_grad_pallas_jit(g, argj, offsets, interpret, block_rows,
                                    band_cap=band_cap, off_mode=off_mode,
                                    off_sent=off_sent if off_mode else None,
                                    i16_cmp=bool(i16_cmp))
-        scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
+        scratch = [pltpu.SMEM((2, n_tiles), jnp.int32)]  # signed extrema
     else:
         kernel = _minplus_grad_kernel
         scratch = []

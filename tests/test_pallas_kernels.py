@@ -341,10 +341,10 @@ def test_grad_gather_band_cap_variants():
         )
         assert np.allclose(out, ref, atol=1e-5), cap
 
-    # single-tile row with max-length links: rb + 1 == width exercises the
-    # halo-free accumulator's full circular wrap (unrotation amount 0)
+    # single-tile row with max-length links: every link points at column 0
+    # (all-negative offsets -> one-sided band [lo, 0])
     n1 = 128
-    argj1 = np.zeros((4, n1), np.int32)  # every link points at column 0
+    argj1 = np.zeros((4, n1), np.int32)
     g1 = rng.standard_normal((4, n1)).astype(np.float32)
     ref1 = np.zeros((4, n1), np.float32)
     ref1[:, 0] = g1.sum(axis=1)
@@ -353,6 +353,56 @@ def test_grad_gather_band_cap_variants():
                                interpret=True, band_cap=128)
     )
     assert np.allclose(out1, ref1, atol=1e-4)
+    # and at column n-1: hi + 1 == width exercises the halo-free
+    # accumulator's full circular wrap (unrotation amount 0)
+    argj2 = np.full((4, n1), n1 - 1, np.int32)
+    ref2 = np.zeros((4, n1), np.float32)
+    ref2[:, -1] = g1.sum(axis=1)
+    out2 = np.array(
+        pk.minplus_grad_pallas(jnp.asarray(g1), jnp.asarray(argj2),
+                               interpret=True, band_cap=128)
+    )
+    assert np.allclose(out2, ref2, atol=1e-4)
+
+
+def test_grad_gather_asymmetric_band():
+    """The sweep covers the signed link range [min_o, max_o] (clamped to
+    the cap), not a symmetric band: one-sided and skewed link fields must
+    stay exact, including when the supplement handles one side only."""
+    rng = np.random.default_rng(19)
+    R, n = 17, 384
+    i = np.arange(n)
+    cases = [
+        rng.integers(0, 9, size=(R, n)),        # all right links
+        rng.integers(-60, 1, size=(R, n)),      # all left links
+        rng.integers(-3, 40, size=(R, n)),      # skewed
+    ]
+    for ci, off in enumerate(cases):
+        argj = np.clip(i[None, :] + off, 0, n - 1).astype(np.int32)
+        g = rng.standard_normal((R, n)).astype(np.float32)
+        rows = np.arange(R)[:, None]
+        ref = np.zeros((R, n), np.float32)
+        np.add.at(ref, (rows.repeat(n, 1), argj), g)
+        for cap in (8, 128):
+            out = np.array(
+                pk.minplus_grad_pallas(jnp.asarray(g), jnp.asarray(argj),
+                                       interpret=True, band_cap=cap))
+            assert np.allclose(out, ref, atol=1e-5), (ci, cap)
+        # offsets mode with sentinel wall wins sprinkled in (offsets must
+        # be the real clipped links: i + o stays inside the row)
+        o16 = (argj - i[None, :]).astype(np.int16)
+        sent = np.int16(np.iinfo(np.int16).min)
+        inert = rng.random((R, n)) < 0.1
+        o16 = np.where(inert, sent, o16).astype(np.int16)
+        ref_m = np.zeros((R, n), np.float32)
+        gm = np.where(inert, 0.0, g).astype(np.float32)
+        argj_m = np.where(inert, i[None, :], argj).astype(np.int32)
+        np.add.at(ref_m, (rows.repeat(n, 1), argj_m), gm)
+        out = np.array(
+            pk.minplus_grad_pallas(jnp.asarray(g), offsets=jnp.asarray(o16),
+                                   off_sent=int(sent), interpret=True,
+                                   band_cap=16))
+        assert np.allclose(out, ref_m, atol=1e-5), ci
 
 
 def test_grad_gather_negative_argj_inert():
