@@ -483,7 +483,10 @@ def _wall_tile(walls_ref, sl, w2, wall_sent):
     if wall_sent is None:
         return w
     c = w.astype(F32)
-    return jnp.where(w >= wall_sent, _INF, w2 * c * c)
+    # compare on the widened f32 copy: v5e Mosaic rejects ordered vector
+    # compares at i16 ("Target does not support this comparison"), and c
+    # is exact for every count (n <= 16000 guard upstream)
+    return jnp.where(c >= wall_sent, _INF, w2 * c * c)
 
 
 def _minplus_argmin_kernel(w2_ref, f_ref, *rest, n_tiles,
@@ -1361,12 +1364,16 @@ def _binary_grad_scan_kernel(g_ref, o_ref, out_ref, *, width, block_rows,
     the XLA associative_scan's log2(n) full-size HBM temporaries.
     """
     lanes = lax.broadcasted_iota(I32, (block_rows, width), 1)
-    o = o_ref[:, :]
+    # Widen int16 residuals immediately: v5e Mosaic rejects ordered vector
+    # compares at i16 ("Target does not support this comparison"), and the
+    # sign tests below need them. One in-register widening cast, like the
+    # gather kernel's i16_cmp=0 default.
+    o = o_ref[:, :].astype(I32)
     g = g_ref[:, :]
     if off_sent is not None:
         live = o != off_sent
         g = jnp.where(live, g, 0.0)
-        o = jnp.where(live, o, jnp.zeros((), o.dtype))
+        o = jnp.where(live, o, 0)
     z = o == omax
     o0 = jnp.where(z, jnp.zeros((), o.dtype), o)
     zf = jnp.where(z, 1.0, 0.0)  # flags as f32 (mask-fold rule)
