@@ -73,6 +73,11 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
 
+    def note(key):
+        # progressive flushed line per section: a timeout-killed run keeps
+        # everything measured so far (the final JSON repeats it all)
+        print(f"## {key}: {json.dumps(results[key])}", flush=True)
+
     # ---- binary cube (the reference's headline: all-ones cube, bb) ----
     ones = jnp.asarray(np.ones((S, S, S), np.uint8))
     aniso = jnp.ones(3, jnp.float32)
@@ -87,11 +92,13 @@ def main():
         dt = chain_timer(binary_step, args.iters)(ones)
         results["binary_cube_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
                                       "ref_s_512": 7.0}
+        note("binary_cube_edt")
 
         rb = jnp.asarray((rng.random((S, S, S)) > 0.5).astype(np.uint8))
         dt = chain_timer(binary_step, args.iters)(rb)
         results["binary_random_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
                                         "ref_s_512": 7.0}
+        note("binary_random_edt")
 
     # ---- multi-label ----
     blk = max(1, S // 16)
@@ -110,6 +117,7 @@ def main():
         dt = chain_timer(ml_step, args.iters)(lab)
         results["multilabel_edt"] = {"s": dt, "Mvox/s": vox / dt / 1e6,
                                      "ref_s_512": 9.0}
+        note("multilabel_edt")
 
     # ---- sdf ----
     def sdf_step(x, i):
@@ -120,6 +128,7 @@ def main():
     if want("sdf"):
         dt = chain_timer(sdf_step, args.iters)(lab)
         results["sdfsq"] = {"s": dt, "Mvox/s": vox / dt / 1e6}
+        note("sdfsq")
 
     # ---- wall-faithful multi-label fwd+bwd (the bench.py headline) ----
     if want("mlgrad"):
@@ -140,6 +149,7 @@ def main():
 
         dt = chain_timer(mlgrad_step, args.iters)((lab, occ_ml))
         results["multilabel_fwd_bwd"] = {"s": dt, "Mvox/s": vox / dt / 1e6}
+        note("multilabel_fwd_bwd")
 
         def mlfwd_step(lab_occ, i):
             l, x = lab_occ
@@ -152,6 +162,7 @@ def main():
         dt = chain_timer(mlfwd_step, args.iters)((lab, occ_ml))
         results["multilabel_fwd_only_differentiable"] = {
             "s": dt, "Mvox/s": vox / dt / 1e6}
+        note("multilabel_fwd_only_differentiable")
 
     # ---- soft EDT fwd+bwd ----
     Ssoft = min(S, 256)
@@ -171,6 +182,7 @@ def main():
         dt = chain_timer(soft_step, args.iters)(occ)
         results[f"soft_edtsq_fwd_bwd_{Ssoft}^3"] = {
             "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
+        note(f"soft_edtsq_fwd_bwd_{Ssoft}^3")
 
     # ---- softmin (temperature > 0, the smooth training mode) ----
     def softmin_step(x, i):
@@ -187,6 +199,7 @@ def main():
         dt = chain_timer(softmin_step, args.iters)(occ)
         results[f"softmin_t0.3_fwd_bwd_{Ssoft}^3"] = {
             "s": dt, "Mvox/s": Ssoft**3 / dt / 1e6}
+        note(f"softmin_t0.3_fwd_bwd_{Ssoft}^3")
 
     # ---- per-label extraction (SNEMI3D-like: 512x512x100, ~300 labels) ----
     if want("each"):
@@ -242,6 +255,7 @@ def main():
             "device_batched_extract_s": t_batched,
             "labels_batched": count_batched,
             "ref_s_snemi3d": 90.0}
+        note("each_extraction")
 
     # ---- voxel graph ----
     if want("vg"):
@@ -253,6 +267,7 @@ def main():
         edt.edtsq(labv, voxel_graph=graph, black_border=True)
         results[f"voxel_graph_{Sv}^3"] = {
             "s": time.perf_counter() - t0}  # wall incl. transfer of 8x volume
+        note(f"voxel_graph_{Sv}^3")
 
     print(json.dumps({"size": S, "backend": jax.default_backend(),
                       "results": results}, indent=2))
