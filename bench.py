@@ -127,13 +127,20 @@ def main():
     # parity exact while bounding the kernels' pruning radii
     barrier = float(np.sum((np.asarray(ANISO) * SIZE) ** 2))
 
+    # EDT_BENCH_GENERAL=1: time the fully general soft path (no
+    # binary-occupancy promise — first pass runs the argmin kernel instead
+    # of the closed form, backward takes the gather). Same forward values
+    # on this 0/1 occupancy; this is the measurement knob for the
+    # "general path lags the binary path" README line.
+    binocc = os.environ.get("EDT_BENCH_GENERAL", "0") != "1"
+
     def step(lab, x, i):
         o = x.at[0, 0, i].set(0.0)
         g = jax.grad(
             lambda oo: jnp.sum(
                 soft.multilabel_edtsq(lab, oo, ANISO, black_border=True,
                                       barrier=barrier,
-                                      binary_occupancy=True)
+                                      binary_occupancy=binocc)
             )
         )(o)
         return g[1, 1, 1] + g[SIZE // 2, SIZE // 2, SIZE // 2]
@@ -145,7 +152,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{SIZE}^3 multi-label anisotropic EDT fwd+bwd (1 chip)",
+                "metric": (f"{SIZE}^3 multi-label anisotropic EDT fwd+bwd "
+                           f"(1 chip{'' if binocc else ', general path'})"),
                 "value": round(vps, 1),
                 "unit": "voxels/s",
                 "vs_baseline": round(vps / BASELINE_VOX_PER_S, 3),
