@@ -149,17 +149,19 @@ def main():
 
     voxels = SIZE**3
     vps = voxels / dt_fb
-    print(
-        json.dumps(
-            {
-                "metric": (f"{SIZE}^3 multi-label anisotropic EDT fwd+bwd "
-                           f"(1 chip{'' if binocc else ', general path'})"),
-                "value": round(vps, 1),
-                "unit": "voxels/s",
-                "vs_baseline": round(vps / BASELINE_VOX_PER_S, 3),
-            }
-        )
-    )
+    line = {
+        "metric": (f"{SIZE}^3 multi-label anisotropic EDT fwd+bwd "
+                   f"(1 chip{'' if binocc else ', general path'})"),
+        "value": round(vps, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vps / BASELINE_VOX_PER_S, 3),
+    }
+    if not binocc:
+        # the denominator is the reference's fwd-only CPU number — the
+        # same one the binary-path headline divides by, NOT a
+        # general-path-specific baseline
+        line["baseline"] = "reference CPU fwd-only (same as binary headline)"
+    print(json.dumps(line))
     print(
         f"# fwd+bwd: {dt_fb*1e3:.1f} ms/transform on {jax.default_backend()} "
         f"(wall-faithful multilabel_edtsq, forward == hard edtsq; "

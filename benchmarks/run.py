@@ -75,8 +75,10 @@ def main():
 
     def note(key):
         # progressive flushed line per section: a timeout-killed run keeps
-        # everything measured so far (the final JSON repeats it all)
-        print(f"## {key}: {json.dumps(results[key])}", flush=True)
+        # everything measured so far (the final JSON repeats it all).
+        # stderr so stdout stays one json.loads-able blob for consumers.
+        print(f"## {key}: {json.dumps(results[key])}",
+              file=sys.stderr, flush=True)
 
     # ---- binary cube (the reference's headline: all-ones cube, bb) ----
     ones = jnp.asarray(np.ones((S, S, S), np.uint8))

@@ -484,8 +484,11 @@ def _wall_tile(walls_ref, sl, w2, wall_sent):
         return w
     c = w.astype(F32)
     # compare on the widened f32 copy: v5e Mosaic rejects ordered vector
-    # compares at i16 ("Target does not support this comparison"), and c
-    # is exact for every count (n <= 16000 guard upstream)
+    # compares at i16 ("Target does not support this comparison"). Exact
+    # for both count dtypes: int16 counts are <= 16000 (guarded upstream),
+    # and the int32 path's real counts are <= n+1 << 2^24 with sentinel
+    # WALL_SENT32 = 2^30 exactly f32-representable (any count >= sentinel
+    # rounds to a float >= it, so the >= test cannot misclassify)
     return jnp.where(c >= wall_sent, _INF, w2 * c * c)
 
 
