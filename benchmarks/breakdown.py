@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--section", default="all",
                     choices=["all", "stages", "kernels", "full", "binary",
-                             "roofline", "grad"])
+                             "roofline", "grad", "rollbench"])
     args = ap.parse_args()
     S, K = args.size, args.iters
     sec = args.section
@@ -239,6 +239,60 @@ def main():
                                           off_sent=sent)
 
         timed("one grad gather pass (offsets mode)", grad_step, stacked_g, K)
+
+    if sec == "rollbench":
+        # Lane-roll vs sublane-roll microbenchmark (explicit-only). The
+        # measured roofline (round 5) shows the offset-major banded sweep
+        # at ~3% of the VPU roof, bound by the per-offset whole-row
+        # pltpu.roll along the LANE axis (the 128-lane crossbar). The
+        # candidate redesign sweeps along the SUBLANE axis instead
+        # (sublane rotates are vreg-select shuffles, no crossbar) at the
+        # cost of one tile transpose per pass. This isolates that choice:
+        # identical footprint and step count, only the rolled axis
+        # differs. A large sublane win here justifies the kernel rewrite;
+        # parity kills it without touching product code.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        if jax.default_backend() != "tpu":
+            print("rollbench is a Mosaic timing probe; run it on the TPU")
+            return
+
+        T = 33                      # steps == a (2r+1) sweep at r=16
+        ROWS, WIDTH = 4096, S       # 8 MB f32 footprint, 16 VMEM blocks
+        xroll = jnp.asarray(
+            rng.standard_normal((ROWS, WIDTH)).astype(np.float32))
+
+        def mk_roll(axis, blk_r):
+            def kern(x_ref, o_ref):
+                x = x_ref[...]
+                acc = x
+                for k in range(1, T):
+                    acc = jnp.minimum(acc, pltpu.roll(x, k, axis=axis))
+                o_ref[...] = acc
+
+            def run(x, i):
+                return pl.pallas_call(
+                    kern,
+                    grid=(ROWS // blk_r,),
+                    in_specs=[pl.BlockSpec((blk_r, WIDTH),
+                                           lambda r: (r, 0))],
+                    out_specs=pl.BlockSpec((blk_r, WIDTH), lambda r: (r, 0)),
+                    out_shape=jax.ShapeDtypeStruct((ROWS, WIDTH),
+                                                   jnp.float32),
+                )(x)
+
+            return run
+
+        print(f"--- roll axis bench: {T-1} rolled min-steps over "
+              f"({ROWS}, {WIDTH}) f32 ---")
+        for blk_r in (256, 512):
+            t_lane = timed(f"lane-axis rolls (axis=1, block_rows={blk_r})",
+                           mk_roll(1, blk_r), xroll, K)
+            t_sub = timed(f"sublane-axis rolls (axis=0, block_rows={blk_r})",
+                          mk_roll(0, blk_r), xroll, K)
+            print(f"  sublane/lane speedup (block_rows={blk_r}): "
+                  f"{t_lane / t_sub:.2f}x")
 
     if sec in ("all", "binary"):
         # binary all-ones cube with black border (reference headline config)
