@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--section", default="all",
                     choices=["all", "stages", "kernels", "full", "binary",
-                             "roofline", "grad", "rollbench"])
+                             "roofline", "grad", "rollbench", "sweepblk"])
     args = ap.parse_args()
     S, K = args.size, args.iters
     sec = args.section
@@ -240,6 +240,25 @@ def main():
 
         timed("one grad gather pass (offsets mode)", grad_step, stacked_g, K)
 
+    if sec == "sweepblk":
+        # production banded sweep (the roofline section's r=16 stage) at a
+        # chosen block_rows — one process per value (MLIR cache KeyError
+        # otherwise). The rollbench overhead model says grid-step count,
+        # not vector work, may dominate: taller blocks = fewer grid steps.
+        blk = int(os.environ.get("EDT_TPU_MP_BLOCK_ROWS", "32"))
+        rs = os.environ.get("EDT_TPU_MP_ROW_SWEEP", "1") != "0"
+        spacing = 32
+        i_idx = np.arange(S)
+        frow = np.where(i_idx % spacing == 0, 0.0, 1e6).astype(np.float32)
+        f_sync = jnp.asarray(np.broadcast_to(frow, (S * S, S)).copy())
+
+        def sweep_step(x, i):
+            return pk.minplus_pallas(x, x, x, jnp.float32(1.0), masked=False,
+                                     block_rows=blk, row_sweep=rs)
+
+        timed(f"banded sweep r={spacing//2}, block_rows={blk}, "
+              f"row_sweep={rs}", sweep_step, f_sync, K)
+
     if sec == "rollbench":
         # Lane-roll vs sublane-roll microbenchmark (explicit-only). The
         # measured roofline (round 5) shows the offset-major banded sweep
@@ -251,6 +270,7 @@ def main():
         # identical footprint and step count, only the rolled axis
         # differs. A large sublane win here justifies the kernel rewrite;
         # parity kills it without touching product code.
+        from jax import lax
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -258,17 +278,104 @@ def main():
             print("rollbench is a Mosaic timing probe; run it on the TPU")
             return
 
-        T = 33                      # steps == a (2r+1) sweep at r=16
-        ROWS, WIDTH = 4096, S       # 8 MB f32 footprint, 16 VMEM blocks
+        T = int(os.environ.get("EDT_TPU_ROLLBENCH_T", "33"))
+        # default: steps == a (2r+1) sweep at r=16
+        ROWS = int(os.environ.get("EDT_TPU_ROLLBENCH_ROWS", "4096"))
+        WIDTH = S
         xroll = jnp.asarray(
             rng.standard_normal((ROWS, WIDTH)).astype(np.float32))
 
-        def mk_roll(axis, blk_r):
+        def mk_bench(mode, blk_r, axis=1):
+            # mode selects the step body; identical step count and
+            # min-accumulate so only the shift mechanism differs:
+            #   static   acc = min(acc, roll(x, k))      independent rotates
+            #   incr     w = roll(w, 1); acc = min(acc, w)  the real sweep
+            #   dyn      fori_loop k: roll(x, k) dynamic amount, one temp
+            #   noroll   acc = min(acc, x + c_k)         traffic-only control
             def kern(x_ref, o_ref):
                 x = x_ref[...]
                 acc = x
-                for k in range(1, T):
-                    acc = jnp.minimum(acc, pltpu.roll(x, k, axis=axis))
+                if mode == "static":
+                    for k in range(1, T):
+                        acc = jnp.minimum(acc, pltpu.roll(x, k, axis=axis))
+                elif mode == "incr":
+                    w = x
+                    for k in range(1, T):
+                        w = pltpu.roll(w, 1, axis=axis)
+                        acc = jnp.minimum(acc, w)
+                elif mode == "dyn":
+                    def body(k, acc):
+                        return jnp.minimum(acc,
+                                           pltpu.roll(x, k, axis=axis))
+                    acc = lax.fori_loop(1, T, body, acc)
+                elif mode == "forincr":
+                    # phase-2 candidate structure: dynamic-trip fori_loop
+                    # carrying (rolled row, accumulator) as VALUES — the
+                    # production sweep instead writes out_ref per step
+                    def body(k, c):
+                        w, acc = c
+                        w = pltpu.roll(w, 1, axis=axis)
+                        return w, jnp.minimum(acc, w)
+                    _, acc = lax.fori_loop(1, T, body, (x, acc))
+                elif mode == "revincr":
+                    # the production sweep's actual roll: leftward shift
+                    # by 1 via roll-right-by-(width-1) — Mosaic may pay
+                    # ~log2(amount) crossbar stages for large amounts
+                    w = x
+                    n_lanes = x.shape[1]
+                    for k in range(1, T):
+                        w = pltpu.roll(w, n_lanes - 1, axis=axis)
+                        acc = jnp.minimum(acc, w)
+                elif mode == "dynub":
+                    # refincr with a DATA-DEPENDENT trip count (the
+                    # production sweep's 2*rmax+1): Mosaic cannot unroll
+                    # or software-pipeline across iterations
+                    o_ref[...] = acc
+                    tdyn = jnp.int32(T) + (x[0, 0] - x[0, 0]).astype(
+                        jnp.int32)
+                    def body(k, w):
+                        w = pltpu.roll(w, 1, axis=axis)
+                        o_ref[...] = jnp.minimum(o_ref[...], w)
+                        return w
+                    lax.fori_loop(1, tdyn, body, x)
+                    return
+                elif mode == "refincr":
+                    # the production sweep's actual structure: accumulate
+                    # through the output REF (VMEM) each step
+                    o_ref[...] = acc
+                    def body(k, w):
+                        w = pltpu.roll(w, 1, axis=axis)
+                        o_ref[...] = jnp.minimum(o_ref[...], w)
+                        return w
+                    lax.fori_loop(1, T, body, x)
+                    return
+                elif mode == "noroll":
+                    for k in range(1, T):
+                        acc = jnp.minimum(acc, x + jnp.float32(k))
+                elif mode.startswith("acc"):
+                    # A-way independent accumulators: same op count as
+                    # noroll but the serial min-chain dependency is A x
+                    # shorter — isolates latency- vs issue-bound
+                    A = int(mode[3:])
+                    accs = [x + jnp.float32(a) for a in range(A)]
+                    for k in range(A, T):
+                        accs[k % A] = jnp.minimum(accs[k % A],
+                                                  x + jnp.float32(k))
+                    for a in range(1, A):
+                        accs[0] = jnp.minimum(accs[0], accs[a])
+                    acc = accs[0]
+                elif mode.startswith("rollacc"):
+                    # the real sweep's shape with A accumulators: roll-by-1
+                    # chain feeding round-robin mins
+                    A = int(mode[7:])
+                    w = x
+                    accs = [x] * A
+                    for k in range(1, T):
+                        w = pltpu.roll(w, 1, axis=axis)
+                        accs[k % A] = jnp.minimum(accs[k % A], w)
+                    for a in range(1, A):
+                        accs[0] = jnp.minimum(accs[0], accs[a])
+                    acc = accs[0]
                 o_ref[...] = acc
 
             def run(x, i):
@@ -286,13 +393,39 @@ def main():
 
         print(f"--- roll axis bench: {T-1} rolled min-steps over "
               f"({ROWS}, {WIDTH}) f32 ---")
-        for blk_r in (256, 512):
-            t_lane = timed(f"lane-axis rolls (axis=1, block_rows={blk_r})",
-                           mk_roll(1, blk_r), xroll, K)
-            t_sub = timed(f"sublane-axis rolls (axis=0, block_rows={blk_r})",
-                          mk_roll(0, blk_r), xroll, K)
-            print(f"  sublane/lane speedup (block_rows={blk_r}): "
-                  f"{t_lane / t_sub:.2f}x")
+        # Mosaic allocates each unrolled roll temp on the scoped-vmem
+        # stack (no slot reuse): blk_r * WIDTH * 4 B * T must stay under
+        # the 16 MB scoped limit, hence small row blocks
+        # each variant compiles a separate chained program over the
+        # remote-compile tunnel (~1-2 min each): EDT_TPU_ROLLBENCH picks
+        # a comma-separated subset so runs fit the 600 s shell cap
+        blk_r = int(os.environ.get("EDT_TPU_ROLLBENCH_BLK", "128"))
+        modes = os.environ.get("EDT_TPU_ROLLBENCH",
+                               "static,incr,noroll").split(",")
+        ts = {}
+        label = {"static": "independent static-amount rolls",
+                 "sublane": "sublane-axis static rolls",
+                 "incr": "incremental roll-by-1 chain",
+                 "dyn": "fori_loop dynamic-amount rolls",
+                 "noroll": "no-roll control, min+add only",
+                 "forincr": "fori_loop value-carried (row, acc)",
+                 "revincr": "roll-by-(width-1) chain (production shift)",
+                 "refincr": "fori_loop out_ref-accumulated (production)",
+                 "dynub": "refincr with data-dependent trip count",
+                 "acc2": "no-roll, 2 accumulators",
+                 "acc4": "no-roll, 4 accumulators",
+                 "rollacc2": "roll-by-1 chain, 2 accumulators",
+                 "rollacc4": "roll-by-1 chain, 4 accumulators"}
+        for m in modes:
+            axis = 0 if m == "sublane" else 1
+            mm = "static" if m == "sublane" else m
+            ts[m] = timed(f"{label[m]} (block_rows={blk_r})",
+                          mk_bench(mm, blk_r, axis=axis), xroll, K)
+        if "noroll" in ts:
+            for m in ts:
+                if m != "noroll":
+                    print(f"  {m} overhead vs traffic-only control: "
+                          f"{ts[m] / ts['noroll']:.2f}x")
 
     if sec in ("all", "binary"):
         # binary all-ones cube with black border (reference headline config)
