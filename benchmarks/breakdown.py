@@ -256,8 +256,185 @@ def main():
             return pk.minplus_pallas(x, x, x, jnp.float32(1.0), masked=False,
                                      block_rows=blk, row_sweep=rs)
 
-        timed(f"banded sweep r={spacing//2}, block_rows={blk}, "
-              f"row_sweep={rs}", sweep_step, f_sync, K)
+        if os.environ.get("EDT_TPU_SWEEPBLK_SKIP_FULL", "0") == "0":
+            timed(f"banded sweep r={spacing//2}, block_rows={blk}, "
+                  f"row_sweep={rs}", sweep_step, f_sync, K)
+
+        if os.environ.get("EDT_TPU_SWEEPBLK_PHASE2", "0") != "0":
+            # phase 2 in isolation: fixed rmax, no radius calc / init /
+            # epilogue — same padded layout and per-offset body as
+            # _minplus_rowsweep_kernel. Locates where the gap between
+            # the full kernel and the rollbench floor lives.
+            from jax import lax
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            H, T128 = pk.HALO, pk.TILE
+            n = S
+            n_tiles = n // T128
+            width = n + 2 * H
+            rmax = spacing // 2
+            lvl = os.environ["EDT_TPU_SWEEPBLK_PHASE2"]
+
+            def p2_kernel(f_ref, out_ref, rad_ref=None):
+                if lvl >= "2":
+                    # phase 1: per-tile radius reductions, as in the
+                    # production kernel
+                    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+
+                    def calc_radius(it, rm):
+                        f_i = f_ref[:, pl.ds(H + it * T128, T128)]
+                        bound = jnp.max(f_i, axis=1, keepdims=True)
+                        radius = pk._radius_from_gap(
+                            pk._radius_gap(bound, minf_row),
+                            jnp.float32(1.0), n)
+                        rad_ref[it] = radius
+                        return jnp.maximum(
+                            rm, jnp.where(radius <= rmax, radius, -1))
+
+                    lax.fori_loop(0, n_tiles, calc_radius, jnp.int32(-1))
+
+                def body(k, wk):
+                    kk = (k - rmax).astype(jnp.float32)
+                    q = kk * kk
+                    for it in range(n_tiles):
+                        sl = pl.ds(it * T128, T128)
+                        cand = wk[:, it * T128:(it + 1) * T128]
+                        out_ref[:, sl] = jnp.minimum(out_ref[:, sl],
+                                                     cand + q)
+                    return pltpu.roll(wk, width - 1, axis=1)
+
+                w0 = f_ref[:, :]
+                wk = pltpu.roll(w0, rmax + (width - H), axis=1)
+                for it in range(n_tiles):
+                    out_ref[:, pl.ds(it * T128, T128)] = jnp.full(
+                        (blk, T128), jnp.inf, jnp.float32)
+                lax.fori_loop(0, 2 * rmax + 1, body, wk)
+
+                if lvl >= "3":
+                    # phase 3 clone (masked=False, walls=False): per-tile
+                    # cond between the banded no-op and the tile-pair scan
+                    ii = lax.broadcasted_iota(jnp.int32, (T128, T128), 0)
+                    jj = lax.broadcasted_iota(jnp.int32, (T128, T128), 1)
+                    dmat = (jj - ii).astype(jnp.float32)
+
+                    def per_target_tile(it, _):
+                        i0 = it * T128
+                        radius = rad_ref[it]
+
+                        def per_cand(jt, acc):
+                            j0 = jt * T128
+                            f_j = f_ref[:, pl.ds(H + j0, T128)]
+                            d = dmat + (i0 - j0).astype(jnp.float32)
+                            quad = d * d
+                            cost = f_j[:, :, None] + quad[None, :, :]
+                            return jnp.minimum(acc, jnp.min(cost, axis=1))
+
+                        def tiled(_):
+                            j_lo = jnp.maximum(0, i0 - radius)
+                            j_hi = jnp.minimum(n, i0 + T128 + radius)
+                            jt_lo = jnp.maximum(j_lo // T128, 0)
+                            jt_hi = jnp.minimum((j_hi + T128 - 1) // T128,
+                                                n_tiles)
+
+                            return lax.fori_loop(
+                                jt_lo, jt_hi, per_cand,
+                                jnp.full((blk, T128), jnp.inf, jnp.float32))
+
+                        if lvl == "4":
+                            # no cond: unconditional banded write-back
+                            acc = out_ref[:, pl.ds(i0, T128)]
+                        elif lvl in ("5", "6", "7"):
+                            # zero-trip tiled loop + select, no cond
+                            banded = radius <= rmax
+                            r_eff = jnp.where(banded,
+                                              jnp.int32(-2 * T128), radius)
+                            j_lo = jnp.maximum(0, i0 - r_eff)
+                            j_hi = jnp.minimum(n, i0 + T128 + r_eff)
+                            jt_lo = jnp.maximum(j_lo // T128, 0)
+                            jt_hi = jnp.minimum(
+                                (j_hi + T128 - 1) // T128, n_tiles)
+
+                            if lvl == "6":
+                                # small 2-D body instead of the 3-D
+                                # tile-pair work
+                                def per_cand6(jt, acc):
+                                    j0 = jt * T128
+                                    f_j = f_ref[:, pl.ds(H + j0, T128)]
+                                    return jnp.minimum(
+                                        acc, f_j + (i0 - j0) * 1.0)
+
+                                tacc = lax.fori_loop(
+                                    jt_lo, jt_hi, per_cand6,
+                                    jnp.full((blk, T128), jnp.inf,
+                                             jnp.float32))
+                            elif lvl == "7":
+                                # 3-D work chunked to (blk, 8, 128) in a
+                                # dynamic inner loop: small live footprint
+                                ilan = lax.broadcasted_iota(
+                                    jnp.int32, (8, T128), 1)
+                                jsub = lax.broadcasted_iota(
+                                    jnp.int32, (8, T128), 0)
+
+                                def per_cand7(jt, acc):
+                                    j0 = jt * T128
+
+                                    def chunk(g, acc):
+                                        js = j0 + g * 8
+                                        f_jg = f_ref[:, pl.ds(H + js, 8)]
+                                        d = (ilan + i0
+                                             - (jsub + js)).astype(
+                                                 jnp.float32)
+                                        quad = d * d
+                                        cost = (f_jg[:, :, None]
+                                                + quad[None, :, :])
+                                        return jnp.minimum(
+                                            acc, jnp.min(cost, axis=1))
+
+                                    return lax.fori_loop(0, T128 // 8,
+                                                         chunk, acc)
+
+                                tacc = lax.fori_loop(
+                                    jt_lo, jt_hi, per_cand7,
+                                    jnp.full((blk, T128), jnp.inf,
+                                             jnp.float32))
+                            else:
+                                tacc = lax.fori_loop(
+                                    jt_lo, jt_hi, per_cand,
+                                    jnp.full((blk, T128), jnp.inf,
+                                             jnp.float32))
+                            acc = jnp.where(banded,
+                                            out_ref[:, pl.ds(i0, T128)],
+                                            tacc)
+                        else:
+                            acc = lax.cond(
+                                radius <= rmax,
+                                lambda _: out_ref[:, pl.ds(i0, T128)],
+                                tiled, 0)
+                        out_ref[:, pl.ds(i0, T128)] = acc
+                        return 0
+
+                    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+            fpad = jnp.pad(f_sync, ((0, 0), (H, H)),
+                           constant_values=np.inf)
+
+            def p2_step(x, i):
+                return pl.pallas_call(
+                    p2_kernel,
+                    grid=(x.shape[0] // blk,),
+                    in_specs=[pl.BlockSpec((blk, width), lambda r: (r, 0))],
+                    out_specs=pl.BlockSpec((blk, n), lambda r: (r, 0)),
+                    out_shape=jax.ShapeDtypeStruct((x.shape[0], n),
+                                                   jnp.float32),
+                    scratch_shapes=(
+                        [pltpu.SMEM((n_tiles,), jnp.int32)]
+                        if lvl >= "2" else []),
+                )(x)
+
+            timed(f"phase-2+{lvl} only "
+                  f"(fixed rmax={rmax}, block_rows={blk})",
+                  p2_step, fpad, K)
 
     if sec == "rollbench":
         # Lane-roll vs sublane-roll microbenchmark (explicit-only). The
