@@ -181,7 +181,14 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
 
         acc0 = jnp.full((block_rows, TILE), _INF, F32)
 
-        def banded(acc):
+        # branches write out_ref instead of returning the tile (NB: this
+        # does NOT dodge the round-5 dispatch tax — Mosaic charges the
+        # (rows, TILE, TILE) body's footprint per construct instance for
+        # scalar side-effecting conds too, measured 319 ms either way on
+        # the all-banded probe; the real escape is the split dispatch,
+        # which compiles the tile-pair body into a separate compacted
+        # kernel — see minplus_pallas)
+        def banded(_):
             # Rolling window: Mosaic vector loads must be 128-lane aligned,
             # so assemble the 3 aligned tiles covering
             # [i0 - TILE, i0 + 2*TILE), rotate once (dynamic) so the first
@@ -208,10 +215,11 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
                 return acc, win
 
             trips = (2 * radius + 1 + unroll - 1) // unroll
-            acc, _ = lax.fori_loop(0, trips, body, (acc, wide))
-            return acc
+            acc, _ = lax.fori_loop(0, trips, body, (acc0, wide))
+            out_ref[:, pl.ds(i0, TILE)] = acc
+            return 0
 
-        def tiled(acc):
+        def tiled(_):
             j_lo = jnp.maximum(seg_lo, i0 - radius)
             j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
             jt_lo = jnp.maximum(j_lo // TILE, 0)
@@ -226,9 +234,12 @@ def _minplus_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref, out_ref, *,
                 cost = f_j[:, :, None] + quad[None, :, :]
                 return jnp.minimum(acc, jnp.min(cost, axis=1))
 
-            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile, acc)
+            out_ref[:, pl.ds(i0, TILE)] = lax.fori_loop(
+                jt_lo, jt_hi, per_candidate_tile, acc0)
+            return 0
 
-        acc = lax.cond(radius <= band_r, banded, tiled, acc0)
+        lax.cond(radius <= band_r, banded, tiled, 0)
+        acc = out_ref[:, pl.ds(i0, TILE)]
 
         if walls:
             if masked:
@@ -252,13 +263,9 @@ def _pad_to(x, rows, cols, value, halo=0):
     return out.at[:R, halo:halo + n].set(x)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("masked", "interpret", "block_rows", "walls",
-                              "black_border", "band_r", "row_sweep")
-)
 def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
                    block_rows=MP_BLOCK_ROWS, walls=False, black_border=False,
-                   band_r=BAND_MAX_R, row_sweep=False):
+                   band_r=None, row_sweep=False, split=None):
     """Min-plus over rows; f (R, n) f32 -> (R, n) f32.
 
     seg_start/seg_end: int32 per-voxel segment bounds along the row, used
@@ -267,7 +274,43 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     pass walls=True to fuse them here, which makes per-cost masking
     redundant). With masked=False the whole row is one segment (binary fast
     path) and seg arrays are ignored.
+
+    split (row-sweep kernel only): run the banded sweep in a kernel that
+    carries NO tile-pair fallback (its mere static presence costs ~6x the
+    sweep on v5e — see _minplus_rowsweep_kernel), plus an XLA-level
+    lax.cond that re-runs the full kernel only when some tile's pruning
+    radius exceeds band_r. None -> EDT_TPU_SPLIT_TILED env (default on;
+    resolved at trace time like the other sweep knobs). band_r defaults to
+    HALO in split mode (the sweep can cover any radius up to the halo
+    width exactly, and a wider band only costs blocks that need it —
+    trip counts are per-block dynamic) and BAND_MAX_R otherwise.
     """
+    import os
+
+    R, n = f.shape
+    n_tiles = max(1, -(-n // TILE))
+    # the sweep's static tile loop unrolls n_tiles times per offset step;
+    # cap it so very long rows keep the per-tile kernel
+    if n_tiles > 16:
+        row_sweep = False
+    if split is None:
+        split = os.environ.get("EDT_TPU_SPLIT_TILED", "0") == "1"
+    split = bool(split) and bool(row_sweep)
+    if band_r is None:
+        band_r = HALO if split else BAND_MAX_R
+    return _minplus_pallas_jit(
+        f, seg_start, seg_end, w2, masked=masked, interpret=interpret,
+        block_rows=block_rows, walls=walls, black_border=black_border,
+        band_r=band_r, row_sweep=row_sweep, split=split)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("masked", "interpret", "block_rows", "walls",
+                              "black_border", "band_r", "row_sweep", "split")
+)
+def _minplus_pallas_jit(f, seg_start, seg_end, w2, masked, interpret,
+                        block_rows, walls, black_border, band_r, row_sweep,
+                        split):
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
@@ -282,22 +325,19 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
     w2v = jnp.asarray(w2, F32).reshape(1)
     nrv = jnp.asarray(n, I32).reshape(1)
 
-    # the sweep's static tile loop unrolls n_tiles times per offset step;
-    # cap it so very long rows keep the per-tile kernel
-    if n_tiles > 16:
-        row_sweep = False
     kw = dict(n_tiles=n_tiles, masked=masked, block_rows=block_rows,
               walls=walls, black_border=black_border, band_r=band_r)
     grid = (Rp // block_rows,)
+    n_blocks = Rp // block_rows
     row_spec = pl.BlockSpec((block_rows, np_), lambda r: (r, 0),
                             memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((block_rows, np_ + 2 * HALO), lambda r: (r, 0),
                           memory_space=pltpu.VMEM)
+    flag_spec = pl.BlockSpec((8, TILE), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     base = _minplus_rowsweep_kernel if row_sweep else _minplus_kernel
-    scratch = [pltpu.SMEM((n_tiles,), jnp.int32)] if row_sweep else []
     if masked:
-        kernel = functools.partial(base, **kw)
         # int16 bound streams when positions fit: halves their HBM traffic
         # (kernels widen to i32 in-register at load)
         sdt = jnp.int16 if n <= 32767 else I32
@@ -306,27 +346,221 @@ def minplus_pallas(f, seg_start, seg_end, w2, masked=True, interpret=False,
         in_specs = [scalar_spec, scalar_spec, f_spec, row_spec, row_spec]
         args = (w2v, nrv, fp, ssp, sep)
     else:
-        def kernel(w2_ref, nreal_ref, f_ref, out_ref, *scr):
-            base(w2_ref, nreal_ref, f_ref, None, None, out_ref, *scr, **kw)
-
         in_specs = [scalar_spec, scalar_spec, f_spec]
         args = (w2v, nrv, fp)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((Rp, np_), F32),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(*args)
+
+    def make_kernel(do_split):
+        k = functools.partial(base, split=do_split, **kw) if row_sweep \
+            else functools.partial(base, **kw)
+        if masked:
+            return k
+
+        def unmasked(w2_ref, nreal_ref, f_ref, out_ref, *scr):
+            k(w2_ref, nreal_ref, f_ref, None, None, out_ref, *scr)
+
+        return unmasked
+
+    def call(do_split):
+        scratch = [pltpu.SMEM((n_tiles,), jnp.int32)] if row_sweep else []
+        out_specs = (row_spec, flag_spec) if do_split else row_spec
+        out_shape = jax.ShapeDtypeStruct((Rp, np_), F32)
+        if do_split:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((8 * n_blocks, TILE), I32))
+        return pl.pallas_call(
+            make_kernel(do_split),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args)
+
+    if split:
+        out, flag = call(True)
+        fb = flag[::8, 0] > 0  # (n_blocks,) some tile radius > band_r
+        count = jnp.sum(fb.astype(I32))
+        C = _fixup_capacity(n_blocks)
+        # stable partition permutation: flagged block ids first (ascending),
+        # unflagged after — a cumsum scatter, cheaper than argsort
+        csum_f = jnp.cumsum(fb.astype(I32))
+        pos = jnp.where(fb, csum_f - 1,
+                        count + jnp.cumsum(jnp.logical_not(fb).astype(I32))
+                        - 1)
+        order = jnp.zeros((n_blocks,), I32).at[pos].set(
+            jnp.arange(n_blocks, dtype=I32))
+
+        fixk = functools.partial(
+            _minplus_fixup_kernel, n_tiles=n_tiles, masked=masked,
+            block_rows=block_rows, walls=walls,
+            black_border=black_border, band_r=band_r)
+        if masked:
+            fix_kernel = fixk
+        else:
+            def fix_kernel(idx_ref, w2_ref, nreal_ref, f_ref, prev_ref,
+                           out_ref):
+                fixk(idx_ref, w2_ref, nreal_ref, f_ref, None, None,
+                     prev_ref, out_ref)
+
+        def bmap(g, idx_ref):
+            return (idx_ref[g], 0)
+
+        fix_in = [scalar_spec, scalar_spec,
+                  pl.BlockSpec((block_rows, np_ + 2 * HALO), bmap,
+                               memory_space=pltpu.VMEM)]
+        if masked:
+            fix_in += [pl.BlockSpec((block_rows, np_), bmap,
+                                    memory_space=pltpu.VMEM)] * 2
+        fix_in.append(pl.BlockSpec((block_rows, np_), bmap,
+                                   memory_space=pltpu.VMEM))
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C,),
+            in_specs=fix_in,
+            out_specs=pl.BlockSpec((block_rows, np_),
+                                   lambda g, idx_ref: (g, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+
+        # lax.while_loop, NOT lax.cond: on this backend a cond executes
+        # BOTH branches (measured: an untaken full-kernel branch cost its
+        # full 320 ms — PARITY.md round-5), while loop bodies cannot be
+        # flattened, so count == 0 volumes skip the fixup entirely and
+        # volumes with > C flagged blocks iterate until covered (each
+        # C-chunk of the partition; padding entries are pure copies).
+        def cond_fn(carry):
+            i, _ = carry
+            return i * C < count
+
+        def body_fn(carry):
+            i, cur = carry
+            idx = lax.dynamic_slice_in_dim(order, i * C, C)
+            fixed = pl.pallas_call(
+                fix_kernel, grid_spec=gs,
+                out_shape=jax.ShapeDtypeStruct((C * block_rows, np_), F32),
+                interpret=interpret,
+            )(idx, *args, cur)
+            fixed = fixed.reshape(C, block_rows, np_)
+            cur = (cur.reshape(n_blocks, block_rows, np_)
+                   .at[idx].set(fixed).reshape(Rp, np_))
+            return i + 1, cur
+
+        _, out = lax.while_loop(cond_fn, body_fn, (jnp.int32(0), out))
+    else:
+        out = call(False)
     return out[:R, :n]
 
 
+def _fixup_capacity(n_blocks):
+    """Compaction capacity of the split dispatch's fixup pass: the fixup
+    kernel's footprint cost scales with the blocks it VISITS, so gather
+    only the flagged ones (plus harmless unflagged padding). More flagged
+    blocks than this -> the whole volume re-runs the fused kernel (rare:
+    the capacity covers 1/8 of the volume; fields that exceed it are
+    exactly the sparse regime the fused kernel's tiled branch was shaped
+    for). Module-level so tests can exercise the overflow path."""
+    return min(n_blocks, max(64, n_blocks // 8))
+
+
+def _minplus_fixup_kernel(idx_ref, w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
+                          prev_ref, out_ref, *, n_tiles, masked, block_rows,
+                          walls, black_border, band_r):
+    """Compacted tile-pair recompute for blocks the split row-sweep kernel
+    flagged (some tile's pruning radius > band_r). One grid step per
+    GATHERED block (scalar-prefetched block indices; padding entries point
+    at unflagged blocks and reduce to pure copies). Tiles within the band
+    copy the banded result through; flagged tiles are overwritten by the
+    pruned tile-pair scan with the wall epilogue re-applied — this is the
+    ONLY kernel in the split dispatch carrying the big tile-pair body, so
+    its footprint cost (the round-5 ~9 µs/instance dispatch tax) is paid
+    on the C gathered blocks instead of the whole volume."""
+    del idx_ref  # consumed by the index maps
+    if ss_ref is None:
+        ss_ref = se_ref = f_ref  # unused placeholders
+    w2 = w2_ref[0]
+    n_real = nreal_ref[0]
+    n = n_tiles * TILE
+    lanes = lax.broadcasted_iota(I32, (1, TILE), 1)
+    ii = lax.broadcasted_iota(I32, (TILE, TILE), 0)
+    jj = lax.broadcasted_iota(I32, (TILE, TILE), 1)
+    dmat = (jj - ii).astype(F32)
+
+    minf_row = jnp.min(f_ref[:, :], axis=1, keepdims=True)
+
+    def per_target_tile(it, _):
+        i0 = it * TILE
+        f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
+        gi = lanes + i0
+        lwall = rwall = None
+        if masked:
+            ss_i = ss_ref[:, pl.ds(i0, TILE)].astype(I32)
+            se_i = se_ref[:, pl.ds(i0, TILE)].astype(I32)
+            seg_lo = jnp.min(ss_i)
+            seg_hi = jnp.max(se_i)
+        else:
+            seg_lo = jnp.int32(0)
+            seg_hi = jnp.int32(n)
+        bound = jnp.max(f_i, axis=1, keepdims=True)
+        if walls and masked:
+            li = (gi - ss_i + 1).astype(F32)
+            ri = (se_i - gi).astype(F32)
+            lwall = w2 * (li * li)
+            rwall = w2 * (ri * ri)
+            if not black_border:
+                lwall = jnp.where(ss_i > 0, lwall, _INF)
+                rwall = jnp.where(se_i < n_real, rwall, _INF)
+            bound = jnp.max(jnp.minimum(f_i, jnp.minimum(lwall, rwall)),
+                            axis=1, keepdims=True)
+        elif walls and black_border:
+            bli = (gi + 1).astype(F32)
+            bri = (n_real - gi).astype(F32)
+            bwall = w2 * jnp.minimum(bli * bli, bri * bri)
+            bound = jnp.max(jnp.minimum(f_i, bwall), axis=1, keepdims=True)
+        radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
+
+        def fixtile(_):
+            j_lo = jnp.maximum(seg_lo, i0 - radius)
+            j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
+            jt_lo = jnp.maximum(j_lo // TILE, 0)
+            jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
+
+            def per_candidate_tile(jt, acc):
+                j0 = jt * TILE
+                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                d = dmat + (i0 - j0).astype(F32)
+                quad = w2 * (d * d)
+                cost = f_j[:, :, None] + quad[None, :, :]
+                return jnp.minimum(acc, jnp.min(cost, axis=1))
+
+            acc = lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
+                                jnp.full((block_rows, TILE), _INF, F32))
+            if walls:
+                if masked:
+                    acc = jnp.minimum(acc, jnp.minimum(lwall, rwall))
+                elif black_border:
+                    bli = (gi + 1).astype(F32)
+                    bri = (n_real - gi).astype(F32)
+                    acc = jnp.minimum(acc,
+                                      w2 * jnp.minimum(bli * bli, bri * bri))
+            out_ref[:, pl.ds(i0, TILE)] = acc
+            return 0
+
+        def copy(_):
+            out_ref[:, pl.ds(i0, TILE)] = prev_ref[:, pl.ds(i0, TILE)]
+            return 0
+
+        lax.cond(radius > band_r, fixtile, copy, 0)
+        return 0
+
+    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+
 def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
-                             out_ref, rad_ref, *, n_tiles, masked,
+                             out_ref, *rest, n_tiles, masked,
                              block_rows=MP_BLOCK_ROWS, walls=False,
-                             black_border=False, band_r=BAND_MAX_R):
+                             black_border=False, band_r=BAND_MAX_R,
+                             split=False):
     """Offset-major variant of _minplus_kernel: the banded evaluation rolls
     the WHOLE padded row once per offset and min-updates every target tile,
     instead of rolling a 3-tile window per tile — halves roll traffic when
@@ -335,7 +569,24 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
     sweeping every banded tile at the block's max banded radius stays
     exact. Tiles whose radius exceeds band_r are recomputed by the pruned
     tile-pair scan afterwards, and the wall epilogue applies at the end.
+
+    split=True (the production default, see minplus_pallas): the tile-pair
+    fallback is NOT in this kernel at all. Measured on v5e (PARITY.md
+    round-5 sweep anatomy): any per-tile dynamic construct whose body
+    holds the (rows, TILE, TILE) tile-pair work costs ~9 µs per static
+    instance even when never executed — for value-returning AND
+    side-effect-only conds alike — which made the in-kernel dispatch ~6x
+    the sweep it guards. In split mode this kernel only runs phases 1/2
+    plus the small-bodied wall epilogue and emits a per-block i32 flag
+    (second output) = "some tile's radius exceeds band_r"; the caller
+    routes flagged blocks to the compacted fixup kernel via an XLA-level
+    lax.while_loop (a lax.cond would execute its pallas branch even when
+    untaken — measured), so typical volumes never pay the footprint.
     """
+    if split:
+        flag_ref, rad_ref = rest
+    else:
+        (rad_ref,) = rest
     if ss_ref is None:
         ss_ref = se_ref = f_ref  # unused placeholders
     w2 = w2_ref[0]
@@ -352,8 +603,10 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
     # ---- phase 1: per-tile radii (stored in SMEM scratch) ----
     # rmax starts at -1 so "some tile is banded with radius 0" (constant
     # rows — e.g. the all-ones cube's interior) still runs the k=0 sweep
-    # step; rmax stays -1 only when every tile goes tiled.
-    def calc_radius(it, rmax):
+    # step; rmax stays -1 only when every tile goes tiled. rall tracks the
+    # unclamped maximum for split mode's needs-fallback flag.
+    def calc_radius(it, carry):
+        rmax, rall = carry
         i0 = it * TILE
         f_i = f_ref[:, pl.ds(HALO + i0, TILE)]
         gi = lanes + i0
@@ -377,9 +630,11 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
             bound = jnp.max(jnp.minimum(f_i, bwall), axis=1, keepdims=True)
         radius = _radius_from_gap(_radius_gap(bound, minf_row), w2, n)
         rad_ref[it] = radius
-        return jnp.maximum(rmax, jnp.where(radius <= band_r, radius, -1))
+        return (jnp.maximum(rmax, jnp.where(radius <= band_r, radius, -1)),
+                jnp.maximum(rall, radius))
 
-    rmax = lax.fori_loop(0, n_tiles, calc_radius, jnp.int32(-1))
+    rmax, rall = lax.fori_loop(0, n_tiles, calc_radius,
+                               (jnp.int32(-1), jnp.int32(0)))
 
     # ---- phase 2: whole-row banded sweep over [-rmax, rmax] ----
     def init_tile(it, _):
@@ -411,38 +666,53 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
     lax.cond(rmax >= 0, sweep, lambda _: 0, 0)
 
     # ---- phase 3: tiled recompute for large-radius tiles + wall epilogue ----
+    # (split mode: no tiled branch here — the flag output routes blocks
+    # that would need it to a separate full-kernel dispatch)
     def per_target_tile(it, _):
         i0 = it * TILE
         gi = lanes + i0
-        radius = rad_ref[it]
-        if masked:
+        if masked and (not split or walls):
             ss_i = ss_ref[:, pl.ds(i0, TILE)].astype(I32)
             se_i = se_ref[:, pl.ds(i0, TILE)].astype(I32)
-            seg_lo = jnp.min(ss_i)
-            seg_hi = jnp.max(se_i)
-        else:
-            seg_lo = jnp.int32(0)
-            seg_hi = jnp.int32(n)
+        if not split:
+            radius = rad_ref[it]
+            if masked:
+                seg_lo = jnp.min(ss_i)
+                seg_hi = jnp.max(se_i)
+            else:
+                seg_lo = jnp.int32(0)
+                seg_hi = jnp.int32(n)
 
-        def tiled(_):
-            j_lo = jnp.maximum(seg_lo, i0 - radius)
-            j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
-            jt_lo = jnp.maximum(j_lo // TILE, 0)
-            jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
+            # side-effect-only cond; NB: Mosaic still charges the
+            # (rows, TILE, TILE) body's footprint per tile instance even
+            # when the branch never runs (measured 319 ms on the
+            # all-banded probe for value-returning AND side-effecting
+            # shapes alike — PARITY.md round-5). This non-split kernel is
+            # the fallback/knob path; the production escape is split mode,
+            # where the tile-pair body lives only in the compacted fixup
+            # kernel. The tiled branch overwrites the partial sweep values
+            # in out_ref; banded tiles skip it.
+            def tiled(_):
+                j_lo = jnp.maximum(seg_lo, i0 - radius)
+                j_hi = jnp.minimum(seg_hi, i0 + TILE + radius)
+                jt_lo = jnp.maximum(j_lo // TILE, 0)
+                jt_hi = jnp.minimum((j_hi + TILE - 1) // TILE, n_tiles)
 
-            def per_candidate_tile(jt, acc):
-                j0 = jt * TILE
-                f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
-                d = dmat + (i0 - j0).astype(F32)
-                quad = w2 * (d * d)
-                cost = f_j[:, :, None] + quad[None, :, :]
-                return jnp.minimum(acc, jnp.min(cost, axis=1))
+                def per_candidate_tile(jt, acc):
+                    j0 = jt * TILE
+                    f_j = f_ref[:, pl.ds(HALO + j0, TILE)]
+                    d = dmat + (i0 - j0).astype(F32)
+                    quad = w2 * (d * d)
+                    cost = f_j[:, :, None] + quad[None, :, :]
+                    return jnp.minimum(acc, jnp.min(cost, axis=1))
 
-            return lax.fori_loop(jt_lo, jt_hi, per_candidate_tile,
-                                 jnp.full((block_rows, TILE), _INF, F32))
+                out_ref[:, pl.ds(i0, TILE)] = lax.fori_loop(
+                    jt_lo, jt_hi, per_candidate_tile,
+                    jnp.full((block_rows, TILE), _INF, F32))
+                return 0
 
-        acc = lax.cond(radius <= band_r,
-                       lambda _: out_ref[:, pl.ds(i0, TILE)], tiled, 0)
+            lax.cond(radius > band_r, tiled, lambda _: 0, 0)
+        acc = out_ref[:, pl.ds(i0, TILE)]
 
         if walls:
             if masked:
@@ -463,6 +733,12 @@ def _minplus_rowsweep_kernel(w2_ref, nreal_ref, f_ref, ss_ref, se_ref,
         return 0
 
     lax.fori_loop(0, n_tiles, per_target_tile, 0)
+
+    if split:
+        # one native (8, 128) tile per block (Mosaic's minimum VMEM block);
+        # the caller reads column 0
+        flag_ref[:, :] = jnp.broadcast_to(
+            (rall > band_r).astype(I32), (8, TILE))
 
 
 # ---------------------------------------------------------------------------
@@ -667,7 +943,8 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
                                     n_tiles, block_rows, arg_band_r=64,
                                     probe_r=16, walled=False,
                                     wall_sent=None, off_dtype=None,
-                                    dyn_probe=False, off_track=False):
+                                    dyn_probe=False, off_track=False,
+                                    split=False):
     """Offset-major argmin variant: whole-row rolls shared across tiles.
 
     Probe sweep (+-probe_r, ascending k, strict < -> leftmost ties), then
@@ -695,12 +972,25 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
     instead of paying the fixed ±probe_r floor. Barrier-height fields
     keep an infinite raw radius and probe the full ±probe_r exactly as
     before. Exact for every input either way.
+
+    split=True: the tile-pair fallback branch is compiled OUT of this
+    kernel (its static presence alone costs ~9 µs per tile instance on
+    v5e — see _minplus_rowsweep_kernel); tiles whose refined radius
+    exceeds the swept band raise a per-block flag (third output) and the
+    caller re-dispatches the full kernel under an XLA-level lax.cond.
     """
+    idx = 0
+    walls_ref = None
     if walled:
-        walls_ref, out_ref, arg_out_ref, rad_ref = rest[:4]
-    else:
-        walls_ref = None
-        out_ref, arg_out_ref, rad_ref = rest[:3]
+        walls_ref = rest[idx]
+        idx += 1
+    out_ref, arg_out_ref = rest[idx], rest[idx + 1]
+    idx += 2
+    flag_ref = None
+    if split:
+        flag_ref = rest[idx]
+        idx += 1
+    rad_ref = rest[idx]
     # emit_offsets mode: absolute winner indices accumulate in an i32 VMEM
     # scratch; the epilogue writes narrow offset residuals to arg_out_ref
     # (the VJP residual stream halves and the XLA argj -> o conversion
@@ -823,11 +1113,11 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
     calc_radius(store=True)
 
     # ---- tile-pair scan for tiles whose refined radius exceeds the sweep --
-    def per_target_tile(it, _):
+    swept = jnp.maximum(jnp.minimum(jnp.int32(arg_band_r), rmax_ext), rp)
+
+    def per_target_tile(it, need):
         i0 = it * TILE
         radius = rad_ref[it]
-        swept = jnp.maximum(jnp.minimum(jnp.int32(arg_band_r), rmax_ext),
-                            rp)
 
         def tiled(_):
             cur = out_ref[:, pl.ds(i0, TILE)]
@@ -873,7 +1163,11 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
             arg_ref[:, pl.ds(i0, TILE)] = arg
             return 0
 
-        lax.cond(radius > swept, tiled, lambda _: 0, 0)
+        if split:
+            # the tile-pair branch lives in a separate dispatch; just flag
+            need = jnp.maximum(need, (radius > swept).astype(I32))
+        else:
+            lax.cond(radius > swept, tiled, lambda _: 0, 0)
         # clamp: padded-halo winners only occur for all-INF rows
         arg = arg_ref[:, pl.ds(i0, TILE)]
         if off_track:
@@ -896,15 +1190,17 @@ def _minplus_argmin_rowsweep_kernel(w2_ref, f_ref, *rest,
             if ww is not None:
                 arg = jnp.where(ww, -(lanes + i0) - 1, arg)
             arg_out_ref[:, pl.ds(i0, TILE)] = arg
-        return 0
+        return need
 
-    lax.fori_loop(0, n_tiles, per_target_tile, 0)
+    need = lax.fori_loop(0, n_tiles, per_target_tile, jnp.int32(0))
+    if split:
+        flag_ref[:, :] = jnp.broadcast_to(need, (8, TILE))
 
 
 def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
-                          block_rows=MP_BLOCK_ROWS, arg_band_r=48,
+                          block_rows=MP_BLOCK_ROWS, arg_band_r=None,
                           row_sweep=True, emit_offsets=False,
-                          dyn_probe=None, off_track=None):
+                          dyn_probe=None, off_track=None, split=None):
     """(R, n) f32 -> (d, argj): unmasked min-plus and its winning index.
 
     emit_offsets=True: the second output is the residual OFFSET o =
@@ -934,6 +1230,15 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
     instead of the absolute index, reconstructed once in the epilogue —
     drops one vector add per (offset, tile) step. Exact either way.
     None -> EDT_TPU_ARG_OFF_TRACK env (resolved like dyn_probe).
+
+    split: compile the tile-pair fallback into a SEPARATE dispatch that
+    only runs (XLA-level lax.cond on a per-block flag) when some tile's
+    refined radius exceeds the swept band — its static presence in the
+    main kernel costs ~6x the sweep on v5e (see the rowsweep kernel
+    docstrings). None -> EDT_TPU_SPLIT_TILED env (default on). In split
+    mode arg_band_r defaults to HALO (cover everything the halo permits;
+    extension trip counts are per-block dynamic so only blocks that need
+    long bands pay for them), else 48.
     """
     import os
 
@@ -948,21 +1253,28 @@ def minplus_argmin_pallas(f, w2, walls=None, interpret=False,
         raise ValueError(
             f"int16 wall counts require n <= 16000 (got n={f.shape[1]}); "
             "use int32 counts")
+    if -(-f.shape[1] // TILE) > 16:
+        row_sweep = False  # static tile unroll would explode on long rows
+    if split is None:
+        split = os.environ.get("EDT_TPU_SPLIT_TILED", "0") == "1"
+    split = bool(split) and bool(row_sweep)
+    if arg_band_r is None:
+        arg_band_r = HALO if split else 48
     return _minplus_argmin_pallas_jit(
         f, w2, walls, interpret=interpret, block_rows=block_rows,
         arg_band_r=arg_band_r, row_sweep=row_sweep,
         emit_offsets=emit_offsets, dyn_probe=bool(dyn_probe),
-        off_track=bool(off_track))
+        off_track=bool(off_track), split=split)
 
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "block_rows", "arg_band_r",
                               "row_sweep", "emit_offsets", "dyn_probe",
-                              "off_track")
+                              "off_track", "split")
 )
 def _minplus_argmin_pallas_jit(f, w2, walls, interpret, block_rows,
                                arg_band_r, row_sweep, emit_offsets,
-                               dyn_probe, off_track):
+                               dyn_probe, off_track, split=False):
     R, n = f.shape
     n_tiles = max(1, -(-n // TILE))
     Rp = -(-R // block_rows) * block_rows
@@ -1001,31 +1313,50 @@ def _minplus_argmin_pallas_jit(f, w2, walls, interpret, block_rows,
     if emit_offsets:
         off_dtype = jnp.int16 if n <= 16000 else jnp.int32
         arg_out_dtype = off_dtype
-    if row_sweep:
-        kernel = functools.partial(
-            _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
-            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
-            wall_sent=wall_sent, off_dtype=off_dtype,
-            dyn_probe=bool(dyn_probe), off_track=bool(off_track))
-        scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
-        if emit_offsets:
-            scratch.append(pltpu.VMEM((block_rows, np_), I32))
+    n_blocks = Rp // block_rows
+    flag_spec = pl.BlockSpec((8, TILE), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM)
+
+    def call(do_split):
+        if row_sweep:
+            kernel = functools.partial(
+                _minplus_argmin_rowsweep_kernel, n_tiles=n_tiles,
+                block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
+                wall_sent=wall_sent, off_dtype=off_dtype,
+                dyn_probe=bool(dyn_probe), off_track=bool(off_track),
+                split=do_split)
+            scratch = [pltpu.SMEM((n_tiles,), jnp.int32)]
+            if emit_offsets:
+                scratch.append(pltpu.VMEM((block_rows, np_), I32))
+        else:
+            kernel = functools.partial(
+                _minplus_argmin_kernel, n_tiles=n_tiles,
+                block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
+                wall_sent=wall_sent, off_dtype=off_dtype)
+            scratch = []
+        out_specs = (row_spec, row_spec)
+        out_shape = (jax.ShapeDtypeStruct((Rp, np_), F32),
+                     jax.ShapeDtypeStruct((Rp, np_), arg_out_dtype))
+        if do_split:
+            out_specs = out_specs + (flag_spec,)
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((8 * n_blocks, TILE), I32),)
+        return pl.pallas_call(
+            kernel,
+            grid=(Rp // block_rows,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*operands)
+
+    if split:
+        d, arg, flag = call(True)
+        d, arg = lax.cond(jnp.any(flag[:, 0] > 0),
+                          lambda _: call(False), lambda _: (d, arg), 0)
     else:
-        kernel = functools.partial(
-            _minplus_argmin_kernel, n_tiles=n_tiles,
-            block_rows=block_rows, arg_band_r=arg_band_r, walled=walled,
-            wall_sent=wall_sent, off_dtype=off_dtype)
-        scratch = []
-    d, arg = pl.pallas_call(
-        kernel,
-        grid=(Rp // block_rows,),
-        in_specs=in_specs,
-        out_specs=(row_spec, row_spec),
-        out_shape=(jax.ShapeDtypeStruct((Rp, np_), F32),
-                   jax.ShapeDtypeStruct((Rp, np_), arg_out_dtype)),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(*operands)
+        d, arg = call(False)
     return d[:R, :n], arg[:R, :n]
 
 
@@ -2049,7 +2380,7 @@ def softmin_grad_pallas(f, d, g, w2, t, interpret=False,
 
 
 def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
-                      band_r=BAND_MAX_R, row_sweep=True):
+                      band_r=None, row_sweep=True, split=None):
     """Full-pass adapter used by ops.core/compose: signature
     (f2d, labels2d, w2, black_border, binary) -> d2d.
 
@@ -2066,6 +2397,7 @@ def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
                 f2d, f2d, f2d, w2, masked=False, walls=True,
                 black_border=black_border, interpret=interpret,
                 block_rows=block_rows, band_r=band_r, row_sweep=row_sweep,
+                split=split,
             )
         from edt_tpu.ops import core
 
@@ -2074,13 +2406,14 @@ def make_parabolic_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
             f2d, ss, se, w2, masked=True, walls=True,
             black_border=black_border, interpret=interpret,
             block_rows=block_rows, band_r=band_r, row_sweep=row_sweep,
+            split=split,
         )
 
     return fn
 
 
 def make_minplus_fn(interpret=False, block_rows=MP_BLOCK_ROWS,
-                    band_r=BAND_MAX_R):
+                    band_r=None):
     """Adapter with the (f2d, seg_start2d, seg_end2d, w2, masked) signature
     used by ops.core.parabolic_pass_sq (walls applied by the caller)."""
 

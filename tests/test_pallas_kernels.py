@@ -606,3 +606,105 @@ def test_argmin_emit_offsets_matches_absolute():
                 exp = np.where(a_a2 >= 0, a_a2 - i, sent).astype(np.int16)
                 assert np.array_equal(np.array(o), exp), (
                     walls is None, sweep, otr)
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_rowsweep_split_dispatch_matches(split):
+    """The split dispatch (tile-pair fallback compiled into a separate
+    pallas_call behind an XLA-level cond on the per-block radius flag,
+    EDT_TPU_SPLIT_TILED) is bit-identical to the fused kernel on both a
+    banded-only field and a forced-fallback field (radius > HALO)."""
+    rng = np.random.default_rng(17)
+    f = (rng.random((10, 512)).astype(np.float32) * 25)
+    lab = np.repeat(rng.integers(0, 4, size=(10, 16)), 32, axis=1)
+    lab = lab.astype(np.uint32)
+    f[lab == 0] = 0
+    fj, labj = jnp.asarray(f), jnp.asarray(lab)
+    w = jnp.float32(1.1)
+    for bb in (False, True):
+        ref = np.array(core.parabolic_pass_sq(fj, labj, w, bb))
+        out = np.array(core.parabolic_pass_sq(
+            fj, labj, w, bb,
+            parabolic_fn=pk.make_parabolic_fn(interpret=True,
+                                              row_sweep=True, split=split)))
+        fin = np.isfinite(ref)
+        assert np.array_equal(np.isfinite(out), fin), bb
+        assert np.array_equal(out[fin], ref[fin]), bb
+
+    # forced fallback: one source -> pruning radius ~ n > HALO, so the
+    # split path's flag must fire and re-dispatch the full kernel
+    f2 = np.full((8, 512), np.inf, np.float32)
+    f2[:, 3] = 0.0
+    f2j = jnp.asarray(f2)
+    out = np.array(pk.minplus_pallas(
+        f2j, f2j, f2j, 1.0, masked=False, walls=False, interpret=True,
+        row_sweep=True, split=split))
+    i = np.arange(512, dtype=np.float64)
+    exp = ((i - 3) ** 2).astype(np.float32)
+    assert np.array_equal(out, np.broadcast_to(exp, (8, 512)))
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_argmin_split_dispatch_matches(split):
+    """Split dispatch of the argmin row-sweep kernel: values/args equal
+    the jnp oracle with and without walls, including a sparse-source
+    field whose refined radii exceed the swept band (fallback fires)."""
+    rng = np.random.default_rng(23)
+    n = 512
+    w2 = 1.0
+    i = np.arange(n)
+    quad = w2 * (i[:, None] - i[None, :]).astype(np.float64) ** 2
+
+    def oracle(f, wallsq=None):
+        cost = f.astype(np.float64)[:, None, :] + quad[None]
+        d = cost.min(-1)
+        a = cost.argmin(-1)
+        if wallsq is not None:
+            ww = wallsq < d
+            d = np.where(ww, wallsq, d)
+            a = np.where(ww, ~i[None, :], a)
+        return d.astype(np.float32), a
+
+    # sparse sources: some inter-source gaps > HALO force the tile-pair
+    # scan (flag fires); others stay banded
+    f = np.full((8, n), 1e6, np.float32)
+    for r in range(8):
+        cols = rng.choice(n, size=3, replace=False)
+        f[r, cols] = rng.random(3).astype(np.float32)
+    fj = jnp.asarray(f)
+    cnt = rng.integers(1, 200, size=(8, n)).astype(np.int16)
+
+    d_ref, a_ref = oracle(f)
+    d, a = pk.minplus_argmin_pallas(fj, w2, interpret=True, split=split)
+    assert np.array_equal(np.array(d), d_ref)
+    assert np.array_equal(np.array(a), a_ref)
+
+    wallsq = w2 * cnt.astype(np.float64) ** 2
+    d_ref, a_ref = oracle(f, wallsq)
+    d, a = pk.minplus_argmin_pallas(fj, w2, walls=jnp.asarray(cnt),
+                                    interpret=True, split=split,
+                                    emit_offsets=True)
+    sent = np.iinfo(np.int16).min
+    an = np.array(a).astype(np.int64)
+    abs_a = np.where(an == sent, ~i[None, :], an + i[None, :])
+    assert np.array_equal(np.array(d), d_ref)
+    assert np.array_equal(abs_a, a_ref)
+
+
+def test_split_fixup_overflow_falls_back(monkeypatch):
+    """When more blocks are flagged than the fixup capacity, the split
+    dispatch must re-run the fused kernel on the whole volume (exactness
+    cannot depend on the compaction capacity)."""
+    monkeypatch.setattr(pk, "_fixup_capacity", lambda n_blocks: 1)
+    rng = np.random.default_rng(31)
+    # two row-blocks (block_rows=8), BOTH with a source gap > HALO so both
+    # flag: count(2) > capacity(1) -> overflow path
+    f = np.full((16, 512), np.inf, np.float32)
+    f[:, 5] = 0.0
+    fj = jnp.asarray(f)
+    out = np.array(pk.minplus_pallas(
+        fj, fj, fj, 1.0, masked=False, walls=False, interpret=True,
+        row_sweep=True, split=True, block_rows=8))
+    i = np.arange(512, dtype=np.float64)
+    exp = ((i - 5) ** 2).astype(np.float32)
+    assert np.array_equal(out, np.broadcast_to(exp, (16, 512)))
